@@ -1,0 +1,348 @@
+"""Average-pairwise-distance estimators — the reference's signature computation.
+
+Semantics replicated from the Rust reference (studied for behavior only):
+
+- BFS accumulators and exclusion of unreachable pairs / the seed itself:
+  ``src/bin/unipairs.rs:11-43``, ``src/main.rs:12-54``.
+- Sample-size formula ``k = ceil(log2(n) / (2 ε²))``: ``src/main.rs:130``,
+  ``src/bin/unipairs.rs:137``.
+- ``unipairs`` estimator: exact = pooled ``S/C`` over all seeds; sampled = mean of
+  per-source means ``R/k`` with pair-rejection acceptance (draw (v,w), v≠w, accept
+  iff w is forward-reachable from v): ``src/bin/unipairs.rs:57-117,168-175``.
+- ``main`` estimator: batches of ``slot`` seeds; per-batch pooled
+  ``adist = Σdist / (Σcount · (n−1))``; running mean ± sample std across batches;
+  human-readable "norm" multiplies by (n−1); per-batch diameter is the batch max,
+  then averaged across batches: ``src/main.rs:151-244``.
+- Coverage-weighted sampler (K4): k uniform seeds → BFS on the TRANSPOSED graph →
+  per-vertex coverage counts (the seed itself counts — ``seen`` includes ``start``)
+  → prefix-sum CDF → k draws ``c ∈ [0, maxc]`` (inclusive) resolved by
+  lower-bound search: ``src/main.rs:56-111``.
+
+Determinism: the reference uses ``ThreadRng`` (non-seedable); this engine makes all
+sampling seeded (``numpy.random.default_rng``) and pluggable, so tests assert exact
+equality against a local-Python oracle at equal sample counts (SURVEY.md §5), and
+exact modes match the reference's golden outputs to 1e-6.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.graph import GraphFrame
+from ..streaming.superstep import SuperstepMetrics
+from .bfs import DEFAULT_CSR_MAX_EDGES, bfs_csr, bfs_frontier, per_seed_stats
+
+
+def k_formula(n: int, eps: float) -> int:
+    """Hoeffding-style sample size, reference ``src/main.rs:130``."""
+    return math.ceil(math.log2(n) / (2.0 * eps * eps))
+
+
+def _use_csr(graph: GraphFrame, impl: str) -> bool:
+    if impl == "csr":
+        return True
+    if impl == "frontier":
+        return False
+    return graph.num_edges <= DEFAULT_CSR_MAX_EDGES
+
+
+def _seed_stats(graph: GraphFrame, seeds: np.ndarray, impl: str,
+                transposed: bool = False) -> DataFrame:
+    """(seed, dia, dist_sum, reached) for each seed, level-0 excluded."""
+    if _use_csr(graph, impl):
+        return bfs_csr(graph, seeds, transposed=transposed, capture=False)
+    seeds_df = graph.spark.createDataFrame(
+        pd.DataFrame({"seed": np.asarray(seeds, dtype=np.int64)}), schema="seed long"
+    )
+    visited = bfs_frontier(graph, seeds_df, transposed=transposed)
+    # seeds that reach nothing still need a row (dia=0,sum=0,reached=0)
+    stats = per_seed_stats(visited)
+    all_seeds = seeds_df.dropDuplicates(["seed"])
+    return (
+        all_seeds.join(stats, "seed", "left")
+        .fillna(0, subset=["dia", "dist_sum", "reached"])
+    )
+
+
+# --------------------------------------------------------------------------- exact mode
+def exact_avgdist(graph: GraphFrame, impl: str = "auto") -> dict:
+    """unipairs exact mode: seeds = every vertex; avg = S/C, diameter = max.
+
+    Golden anchors: star n=2001 → 1.333333 / 2; ER-1k → 3.706478 / 13
+    (``data/star/result/star-uni-exact.out``,
+    ``data/erdos-renyi/result/1k-0001p-uni-exact.out``).
+    """
+    seeds = np.arange(graph.num_nodes, dtype=np.int64)
+    stats = _seed_stats(graph, seeds, impl)
+    row = stats.agg(
+        F.max("dia").alias("dia"),
+        F.sum("dist_sum").alias("s"),
+        F.sum("reached").alias("c"),
+    ).collect()[0]
+    s, c = int(row["s"] or 0), int(row["c"] or 0)
+    return {
+        "avg_distance": s / c if c else float("nan"),
+        "diameter": int(row["dia"] or 0),
+        "dist_sum": s,
+        "reached_pairs": c,
+    }
+
+
+# --------------------------------------------------------------------------- samplers
+def sample_uniform(n: int, k: int, rng: np.random.Generator) -> np.ndarray:
+    """K5 dummy sampler: k iid uniform vertex ids (``src/main.rs:166-168``)."""
+    return rng.integers(0, n, size=k, dtype=np.int64)
+
+
+def sample_coverage_weighted(
+    graph: GraphFrame, k: int, rng: np.random.Generator, impl: str = "auto"
+) -> np.ndarray:
+    """K4 "cross" sampler (``src/main.rs:56-111``), distributed CDF inversion.
+
+    k uniform probes → backward BFS (transposed graph) → coverage counts
+    (probe seed included) → global prefix sum → k inclusive draws resolved by
+    lower bound. The prefix sum is computed scalably: range-partition counts by
+    vertex id, per-partition partial sums to the driver (P values), broadcast
+    offsets, per-partition ``searchsorted`` — no driver-side n-length array.
+    """
+    n = graph.num_nodes
+    probes = sample_uniform(n, k, rng)
+    if _use_csr(graph, impl):
+        cap = bfs_csr(graph, probes, transposed=True, capture=True).select("v")
+    else:
+        seeds_df = graph.spark.createDataFrame(
+            pd.DataFrame({"seed": probes}), schema="seed long"
+        )
+        cap = bfs_frontier(graph, seeds_df, transposed=True).filter("dist > 0").select("v")
+    # the probe seed itself is covered too (seen includes start, src/main.rs:25,82)
+    probes_df = graph.spark.createDataFrame(pd.DataFrame({"v": probes}), schema="v long")
+    counts = cap.union(probes_df).groupBy("v").agg(F.count("*").alias("c"))
+
+    p = int(graph.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        counts.repartitionByRange(p, "v")
+        .sortWithinPartitions("v")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = (
+        parted.groupBy("pid").agg(F.sum("c").alias("s"), F.min("v").alias("vmin")).collect()
+    )
+    psums.sort(key=lambda r: r["vmin"])
+    offsets: dict[int, int] = {}
+    running = 0
+    for r in psums:
+        offsets[int(r["pid"])] = running
+        running += int(r["s"])
+    maxc = running
+    draws = rng.integers(0, maxc + 1, size=k, dtype=np.int64)  # inclusive upper bound
+
+    bc = graph.spark.sparkContext.broadcast({"offsets": offsets, "draws": draws})
+
+    def pick(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        payload = bc.value
+        offs, drs = payload["offsets"], payload["draws"]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            off = offs[pid]
+            local_cum = off + pdf["c"].to_numpy(dtype=np.int64).cumsum()
+            total = int(local_cum[-1])
+            # draws landing in (off, total] belong to this partition
+            mask = (drs > off) & (drs <= total)
+            if not mask.any():
+                continue
+            sel = np.nonzero(mask)[0]
+            idx = np.searchsorted(local_cum, drs[sel], side="left")
+            yield pd.DataFrame(
+                {"draw_idx": sel.astype(np.int64), "seed": pdf["v"].to_numpy()[idx]}
+            )
+
+    picked = parted.mapInPandas(pick, schema="draw_idx long, seed long").collect()
+    parted.unpersist()
+    bc.unpersist()
+    out = np.zeros(k, dtype=np.int64)  # draw c==0 → lower bound is vertex 0
+    for r in picked:
+        out[int(r["draw_idx"])] = int(r["seed"])
+    return out
+
+
+def sample_pair_rejection(
+    graph: GraphFrame,
+    k: int,
+    rng: np.random.Generator,
+    impl: str = "auto",
+    oversample: float = 4.0,
+    max_rounds: int = 64,
+) -> pd.DataFrame:
+    """K3 batched-speculative pair-rejection sampler (``src/bin/unipairs.rs:72-88``).
+
+    Instead of the reference's per-thread rejection loop (one BFS per trial), we
+    draw a speculative batch of candidate pairs, run ONE multi-source BFS from all
+    distinct sources, post-filter accepted pairs with a join against the captured
+    reachability, and top up until k acceptances. Acceptance of a pair is
+    order-independent, so taking the first k in draw order is deterministic.
+
+    Returns a pandas DataFrame with columns (v, dia, dist_sum, reached), k rows.
+    """
+    n = graph.num_nodes
+    accepted: list[pd.DataFrame] = []
+    have = 0
+    for rnd in range(max_rounds):
+        need = k - have
+        if need <= 0:
+            break
+        # geometric batch growth: sparse graphs can have acceptance rates <1%
+        # (ER-1k: ~0.47%); doubling keeps total BFS work within ~2× optimal
+        # while staying deterministic for oracle parity.
+        batch = min(max(int(math.ceil(need * oversample)) << rnd, 16), 1_000_000)
+        v = rng.integers(0, n, size=batch, dtype=np.int64)
+        w = rng.integers(0, n, size=batch, dtype=np.int64)
+        ok = v != w
+        v, w = v[ok], w[ok]
+        if v.size == 0:
+            continue
+        uniq = np.unique(v)
+        stats = bfs_csr(graph, uniq, capture=False) if _use_csr(graph, impl) else None
+        if stats is not None:
+            cap = bfs_csr(graph, uniq, capture=True)
+        else:
+            seeds_df = graph.spark.createDataFrame(
+                pd.DataFrame({"seed": uniq}), schema="seed long"
+            )
+            visited = bfs_frontier(graph, seeds_df)
+            cap = visited.filter("dist > 0")
+            stats = _seed_stats(graph, uniq, impl)
+        pairs = graph.spark.createDataFrame(
+            pd.DataFrame({"seed": v, "w": w, "ord": np.arange(v.size, dtype=np.int64)}),
+            schema="seed long, w long, ord long",
+        )
+        hit = (
+            pairs.join(cap.select("seed", F.col("v").alias("w")).dropDuplicates(), ["seed", "w"])
+            .join(stats, "seed")
+            .select("ord", F.col("seed").alias("v"), "dia", "dist_sum", "reached")
+            .toPandas()
+            .sort_values("ord")
+        )
+        accepted.append(hit.drop(columns=["ord"]))
+        have += len(hit)
+    out = pd.concat(accepted, ignore_index=True) if accepted else pd.DataFrame(
+        columns=["v", "dia", "dist_sum", "reached"]
+    )
+    if len(out) < k:
+        raise RuntimeError(f"pair-rejection sampler got {len(out)}/{k} acceptances")
+    return out.head(k).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------- unipairs
+def avgdist_unipairs(
+    graph: GraphFrame,
+    eps: float = 0.1,
+    exact: bool = False,
+    seed: int = 42,
+    impl: str = "auto",
+) -> dict:
+    """The ``unipairs`` binary (``src/bin/unipairs.rs:121-178``)."""
+    n = graph.num_nodes
+    if exact:
+        r = exact_avgdist(graph, impl=impl)
+        return {**r, "sample_size": n, "mode": "exact"}
+    k = k_formula(n, eps)
+    rng = np.random.default_rng(seed)
+    acc = sample_pair_rejection(graph, k, rng, impl=impl)
+    nonzero = acc[acc["reached"] > 0]
+    ratio = float((nonzero["dist_sum"] / nonzero["reached"]).sum())
+    return {
+        "avg_distance": ratio / k,  # R / sample_size, unipairs.rs:174
+        "diameter": int(acc["dia"].max()) if len(acc) else 0,
+        "sample_size": k,
+        "mode": "pair_rejection",
+    }
+
+
+# --------------------------------------------------------------------------- main estimator
+@dataclass
+class EstimatorRun:
+    iterations: list[dict] = field(default_factory=list)
+    metrics: SuperstepMetrics | None = None
+
+    @property
+    def final(self) -> dict:
+        return self.iterations[-1] if self.iterations else {}
+
+
+def avgdist_main(
+    graph: GraphFrame,
+    slot: int = 10,
+    eps: float = 0.1,
+    truth: bool = False,
+    dummy: bool = False,
+    seed: int = 42,
+    impl: str = "auto",
+    max_batches: int | None = None,
+) -> EstimatorRun:
+    """The main binary's batch loop (``src/main.rs:113-247``).
+
+    Per batch: pick ``slot`` seeds (exact → all vertices; dummy → uniform K5;
+    default → coverage-weighted K4 on the transposed graph), run forward BFS from
+    all of them (one multi-source job), pool ``adist = Σdist/(Σcount·(n−1))``,
+    update running mean/sample-std across batch means.
+    """
+    n = graph.num_nodes
+    k = k_formula(n, eps)
+    rng = np.random.default_rng(seed)
+    run = EstimatorRun()
+    averages_dist: list[float] = []
+    averages_dia: list[float] = []
+    remaining = k
+    iteration = 1
+    while remaining > 0:
+        cur = min(slot, remaining)
+        if truth:
+            cur = remaining
+            sampled = np.arange(n, dtype=np.int64)
+        elif dummy:
+            sampled = sample_uniform(n, cur, rng)
+        else:
+            sampled = sample_coverage_weighted(graph, cur, rng, impl=impl)
+        stats = _seed_stats(graph, sampled, impl)
+        row = stats.agg(
+            F.max("dia").alias("dia"),
+            F.sum("dist_sum").alias("s"),
+            F.sum("reached").alias("c"),
+        ).collect()[0]
+        dia, s, c = int(row["dia"] or 0), int(row["s"] or 0), int(row["c"] or 0)
+        if c > 0:
+            averages_dist.append(s / (c * (n - 1)))
+            averages_dia.append(float(dia))
+        nb = len(averages_dist)
+        mean = sum(averages_dist) / nb if nb else float("nan")
+        var = (
+            sum((x - mean) ** 2 for x in averages_dist) / (nb - 1) if nb > 1 else float("nan")
+        )
+        dmean = sum(averages_dia) / nb if nb else float("nan")
+        run.iterations.append(
+            {
+                "iteration": iteration,
+                "batch_size": cur,
+                "adist": s / (c * (n - 1)) if c else None,
+                "mean": mean,
+                "norm": mean * (n - 1),
+                "std": math.sqrt(var) if var == var else None,
+                "diameter_mean": dmean,
+                "diameter_max": dia,
+            }
+        )
+        remaining -= cur
+        iteration += 1
+        if max_batches is not None and iteration > max_batches:
+            break
+    return run

@@ -1,0 +1,236 @@
+"""Multi-source BFS — the engine's core kernel (reference K1/K2, SURVEY.md §2.2).
+
+Reference semantics (``src/lib.rs:13-48``): level-synchronous frontier expansion
+with a visited bitset; per seed accumulate ``diameter = max level``,
+``dist_sum = Σ level``, ``reached = count of newly reached vertices`` — the seed
+itself (level 0) is NOT counted; unreachable vertices are excluded, not ∞.
+K2 (``src/lib.rs:126-163``) additionally captures every ``(vertex, dist)`` pair.
+
+Two Spark physical strategies, chosen by graph size:
+
+1. ``bfs_csr`` — **seed-parallel broadcast-CSR kernel**. The adjacency (CSR numpy
+   arrays, ~12 bytes/edge) is broadcast once; seeds are distributed as a DataFrame
+   and each Arrow batch of seeds runs a vectorized numpy BFS inside ``mapInPandas``
+   (no per-row Python: the inner loop is gather/mask/unique over whole frontiers).
+   This mirrors the reference's task-per-seed rayon model and is the fast path up
+   to ~2^31 edges per executor (the reference's 2.16e9-edge payment graph fits).
+
+2. ``bfs_frontier`` — **distributed-frontier superstep loop**. State
+   ``visited(seed, v, dist)`` and ``frontier(seed, v)`` are DataFrames; one
+   superstep = frontier ⋈ edges (shuffle hash join on the pre-partitioned edge
+   side) → dropDuplicates → left-anti join vs visited → union. Scales to graphs
+   far beyond single-executor memory (the 10^12-turn regime); lineage is cut by a
+   ``Checkpointer`` and each superstep is resumable.
+
+Both return identical results (tests assert it).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..plans.graph import GraphFrame
+from ..streaming.superstep import Checkpointer, SuperstepMetrics
+
+#: Above this edge count the broadcast CSR is not attempted (driver/executor memory).
+DEFAULT_CSR_MAX_EDGES = 200_000_000
+
+AGG_SCHEMA = StructType(
+    [
+        StructField("seed", LongType()),
+        StructField("dia", LongType()),
+        StructField("dist_sum", LongType()),
+        StructField("reached", LongType()),
+    ]
+)
+
+CAPTURE_SCHEMA = StructType(
+    [
+        StructField("seed", LongType()),
+        StructField("v", LongType()),
+        StructField("dist", LongType()),
+    ]
+)
+
+
+# --------------------------------------------------------------------------- numpy kernel
+def _bfs_levels(offsets: np.ndarray, targets: np.ndarray, visited: np.ndarray,
+                stamp: int, seed: int) -> Iterator[tuple[int, np.ndarray]]:
+    """Yield (level, newly_reached_vertices) for one BFS; `visited` is an int64
+    stamp array reused across seeds (visited[v] == stamp ⇔ v seen this BFS)."""
+    visited[seed] = stamp
+    frontier = np.array([seed], dtype=np.int64)
+    level = 0
+    while frontier.size:
+        starts = offsets[frontier]
+        counts = offsets[frontier + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            break
+        # gather all successors of the frontier in one vectorized index
+        idx = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        idx += np.arange(total, dtype=np.int64)
+        nbrs = targets[idx]
+        fresh = nbrs[visited[nbrs] != stamp]
+        if fresh.size == 0:
+            break
+        fresh = np.unique(fresh)
+        visited[fresh] = stamp
+        level += 1
+        yield level, fresh
+        frontier = fresh
+
+
+def _seed_batches(graph: GraphFrame, seeds: np.ndarray) -> DataFrame:
+    """Distribute a driver-side seed array across the cluster, one row per seed."""
+    spark = graph.spark
+    p = min(len(seeds), int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    pdf = pd.DataFrame({"seed": np.asarray(seeds, dtype=np.int64)})
+    return spark.createDataFrame(pdf, schema="seed long").repartition(max(p, 1))
+
+
+def bfs_csr(
+    graph: GraphFrame,
+    seeds: np.ndarray,
+    transposed: bool = False,
+    capture: bool = False,
+) -> DataFrame:
+    """Seed-parallel BFS over broadcast CSR adjacency.
+
+    Returns per-seed aggregates ``(seed, dia, dist_sum, reached)`` or, with
+    ``capture=True`` (reference K2), all ``(seed, v, dist)`` pairs with dist ≥ 1.
+    """
+    if graph.num_edges > DEFAULT_CSR_MAX_EDGES:
+        raise ValueError(
+            f"graph has {graph.num_edges} edges > CSR fast-path cap "
+            f"{DEFAULT_CSR_MAX_EDGES}; use bfs_frontier"
+        )
+    bc = graph.csr_broadcast(transposed=transposed)
+    do_capture = capture
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        adj = bc.value
+        offsets, targets, n = adj["offsets"], adj["targets"], adj["n"]
+        # int64 stamp array reused across every seed this worker processes:
+        # visited[v] == stamp ⇔ v reached in the current BFS. A monotonically
+        # increasing stamp makes resets O(1) and is collision-safe even when the
+        # same seed id appears more than once (sampling with replacement).
+        visited = np.zeros(n, dtype=np.int64)
+        stamp = 0
+        for pdf in batches:
+            seeds_arr = pdf["seed"].to_numpy(dtype=np.int64)
+            if do_capture:
+                out_seed, out_v, out_d = [], [], []
+                for s in seeds_arr:
+                    stamp += 1
+                    for level, fresh in _bfs_levels(offsets, targets, visited, stamp, int(s)):
+                        out_seed.append(np.full(fresh.size, s, dtype=np.int64))
+                        out_v.append(fresh)
+                        out_d.append(np.full(fresh.size, level, dtype=np.int64))
+                if out_seed:
+                    yield pd.DataFrame(
+                        {
+                            "seed": np.concatenate(out_seed),
+                            "v": np.concatenate(out_v),
+                            "dist": np.concatenate(out_d),
+                        }
+                    )
+            else:
+                dias = np.zeros(seeds_arr.size, dtype=np.int64)
+                sums = np.zeros(seeds_arr.size, dtype=np.int64)
+                cnts = np.zeros(seeds_arr.size, dtype=np.int64)
+                for i, s in enumerate(seeds_arr):
+                    stamp += 1
+                    for level, fresh in _bfs_levels(offsets, targets, visited, stamp, int(s)):
+                        dias[i] = level
+                        sums[i] += level * fresh.size
+                        cnts[i] += fresh.size
+                yield pd.DataFrame(
+                    {"seed": seeds_arr, "dia": dias, "dist_sum": sums, "reached": cnts}
+                )
+
+    schema = CAPTURE_SCHEMA if capture else AGG_SCHEMA
+    return _seed_batches(graph, seeds).mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------- DF superstep loop
+def bfs_frontier(
+    graph: GraphFrame,
+    seeds: DataFrame,
+    transposed: bool = False,
+    checkpointer: Checkpointer | None = None,
+    metrics: SuperstepMetrics | None = None,
+    max_supersteps: int | None = None,
+) -> DataFrame:
+    """Distributed multi-source BFS: returns ``visited(seed, v, dist)`` including
+    the (seed, seed, 0) rows. ``seeds`` must have a single long column ``seed``.
+
+    All k BFS trees advance in ONE join per superstep (batched, not task-per-seed):
+    the frontier is keyed (seed, v), the edge side keeps its stable hash
+    partitioning on src so the join only shuffles the frontier.
+    """
+    spark = graph.spark
+    base = graph.edges_t if transposed else graph.edges
+    # disjoint column names: the frontier is itself derived from edge joins, and
+    # Spark's ambiguous-self-join analysis would otherwise reject superstep ≥ 2
+    edges = base.select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+    ckpt = checkpointer or Checkpointer(spark, name="bfs")
+    met = metrics if metrics is not None else SuperstepMetrics(name="bfs")
+
+    # Lineage discipline (SURVEY.md §4 "hard parts"): the naive formulation
+    # visited_{k+1} = union(visited_k, f(frontier_k, visited_k)) doubles the
+    # logical plan every superstep (exponential analysis cost). We therefore
+    # truncate the FRONTIER's lineage every superstep (it is the small state)
+    # via eager localCheckpoint, and the VISITED union on the Checkpointer's
+    # cadence (durable Parquet when a checkpoint dir is configured → resume).
+    frontier = seeds.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("seed").cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+    visited = frontier.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+
+    dist = 0
+    while True:
+        t0 = time.monotonic()
+        dist += 1
+        nxt = (
+            frontier.join(edges, F.col("v") == F.col("_esrc"))
+            .select(F.col("seed"), F.col("_edst").alias("v"))
+            .dropDuplicates(["seed", "v"])
+            .join(visited.select("seed", "v"), ["seed", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        cnt = nxt.count()
+        wall = time.monotonic() - t0
+        met.record(dist, cnt, wall)
+        if cnt == 0:
+            break
+        visited = visited.union(nxt.withColumn("dist", F.lit(dist).cast("long")))
+        visited = ckpt.cut(visited, dist, rows=cnt, wall_s=wall)
+        frontier = nxt
+        if max_supersteps is not None and dist >= max_supersteps:
+            break
+    return visited
+
+
+def per_seed_stats(visited: DataFrame) -> DataFrame:
+    """Reference per-seed accumulators (A1): (seed, dia, dist_sum, reached) —
+    level-0 self rows excluded, matching ``src/lib.rs:34-39``."""
+    return (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.max("dist").alias("dia"),
+            F.sum("dist").alias("dist_sum"),
+            F.count("*").alias("reached"),
+        )
+    )

@@ -1,0 +1,205 @@
+"""GraphFrame: the engine's graph data model.
+
+Reference data model (SURVEY.md §1): an immutable directed graph with dense integer
+vertex ids ``0..n``, materialized twice (forward + transposed) for O(1) random access
+(``BvGraph::with_basename`` at reference ``src/main.rs:124-125``; transpose importance
+``README.md:82``).
+
+Spark-first re-expression:
+- ``edges(src long, dst long)``: distinct directed edges, hash-repartitioned on ``src``
+  and persisted — the analog of the forward BVGraph. Every superstep join
+  (frontier ⋈ edges on vertex) then reuses this partitioning, so after the one-time
+  setup shuffle the per-superstep plan only shuffles the (much smaller) frontier.
+- ``edges_t``: the transpose, independently repartitioned on its own ``src`` — the
+  analog of the ``g-t`` BVGraph (reference walks backward edges for coverage-weighted
+  sampling, ``src/main.rs:169``).
+- ``nodes(id long, orig string)``: dense-id mapping, the analog of ``*.nodes``
+  side files (reference ``data/github/github.nodes``). Dense ids are required for the
+  numpy/bitset BFS kernels.
+- A broadcast CSR fast path for graphs whose adjacency fits in executor memory:
+  two int64/int32 numpy arrays (offsets, targets) — the moral equivalent of
+  BVGraph+Elias-Fano random access (reference ``README.md:58-81``), shipped once per
+  executor via ``SparkContext.broadcast``. At 2.16e9 edges (the reference's payment
+  graph) this is ~10 GB — inside one executor's memory; beyond that the pure
+  DataFrame superstep path takes over.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _num_partitions_for(spark: SparkSession) -> int:
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+@dataclass
+class CSR:
+    """Compressed sparse row adjacency: successors(v) = targets[offsets[v]:offsets[v+1]]."""
+
+    offsets: np.ndarray  # int64, len n+1
+    targets: np.ndarray  # int64, len m
+    num_nodes: int
+
+    def successors(self, v: int) -> np.ndarray:
+        return self.targets[self.offsets[v] : self.offsets[v + 1]]
+
+
+def build_csr(pairs: np.ndarray, num_nodes: int) -> CSR:
+    """Build CSR from an (m, 2) int64 array of (src, dst) pairs."""
+    if pairs.size == 0:
+        return CSR(np.zeros(num_nodes + 1, dtype=np.int64), np.empty(0, dtype=np.int64), num_nodes)
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    src = pairs[order, 0]
+    dst = pairs[order, 1]
+    counts = np.bincount(src, minlength=num_nodes)
+    offsets = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return CSR(offsets, dst.astype(np.int64, copy=False), num_nodes)
+
+
+@dataclass
+class GraphFrame:
+    """Directed graph as co-partitioned forward/transposed edge DataFrames."""
+
+    edges: DataFrame
+    edges_t: DataFrame
+    num_nodes: int
+    num_edges: int
+    nodes: Optional[DataFrame] = None  # (id long, orig string) when densified
+    _csr_fwd: Optional[object] = field(default=None, repr=False)
+    _csr_bwd: Optional[object] = field(default=None, repr=False)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.edges.sparkSession
+
+    # ------------------------------------------------------------- constructors
+    @staticmethod
+    def from_edges(
+        edges: DataFrame,
+        num_nodes: int | None = None,
+        *,
+        dedup: bool = True,
+        persist: bool = True,
+    ) -> "GraphFrame":
+        """Build from an integer-id edge DataFrame with columns (src, dst).
+
+        ``num_nodes`` defaults to ``max(id)+1`` (reference semantics: ids are dense
+        ``0..n`` and ``--num-nodes`` may exceed the max id, leaving isolated
+        vertices — those still count as BFS seeds in exact mode).
+        """
+        spark = edges.sparkSession
+        p = _num_partitions_for(spark)
+        e = edges.select(
+            F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+        )
+        if dedup:
+            e = e.distinct()
+        e = e.repartition(p, "src")
+        et = e.select(F.col("dst").alias("src"), F.col("src").alias("dst")).repartition(p, "src")
+        if persist:
+            e = e.persist(StorageLevel.MEMORY_AND_DISK)
+            et = et.persist(StorageLevel.MEMORY_AND_DISK)
+        m = e.count()
+        if num_nodes is None:
+            mx = e.select(F.max(F.greatest("src", "dst")).alias("mx")).collect()[0]["mx"]
+            num_nodes = int(mx) + 1 if mx is not None else 0
+        et.count()  # materialize the transpose once; reused every superstep
+        return GraphFrame(edges=e, edges_t=et, num_nodes=int(num_nodes), num_edges=int(m))
+
+    @staticmethod
+    def from_any_edges(edges: DataFrame) -> "GraphFrame":
+        """Build from arbitrarily-typed/keyed edges by densifying vertex ids.
+
+        Analog of ``webgraph from arcs`` hashing string labels to dense ids
+        (reference ``data/labeled/Makefile:3-8``): distinct vertex keys are ranked
+        in sorted order (deterministic) via a zero-based ``row_number``; the
+        mapping is kept as ``nodes(id, orig)``.
+
+        Scale note: ``row_number`` over a global sort is a range-partitioned sort —
+        one shuffle of the (deduplicated) vertex set, not of the edge set; at
+        10^9 vertices this is the same cost class as the reference's offline
+        ``webgraph from arcs`` preprocessing.
+        """
+        spark = edges.sparkSession
+        p = _num_partitions_for(spark)
+        verts = (
+            edges.select(F.col("src").cast("string").alias("orig"))
+            .union(edges.select(F.col("dst").cast("string").alias("orig")))
+            .distinct()
+        )
+        from pyspark.sql.window import Window
+
+        nodes = verts.select(
+            (F.row_number().over(Window.orderBy("orig")) - 1).cast("long").alias("id"),
+            "orig",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n = nodes.count()
+        e = (
+            edges.select(
+                F.col("src").cast("string").alias("s_orig"),
+                F.col("dst").cast("string").alias("d_orig"),
+            )
+            .join(F.broadcast(nodes.withColumnRenamed("orig", "s_orig")), "s_orig")
+            .withColumnRenamed("id", "src")
+            .join(F.broadcast(nodes.withColumnRenamed("orig", "d_orig")), "d_orig")
+            .withColumnRenamed("id", "dst")
+            .select("src", "dst")
+        )
+        g = GraphFrame.from_edges(e, num_nodes=n)
+        g.nodes = nodes
+        return g
+
+    # ------------------------------------------------------------- derived views
+    def symmetric_edges(self) -> DataFrame:
+        """Undirected view: edges ∪ transpose, distinct (for CC / LP / triangles)."""
+        return self.edges.union(self.edges_t).distinct()
+
+    def out_degrees(self) -> DataFrame:
+        """(v, out_degree) for vertices with ≥1 outgoing edge."""
+        return self.edges.groupBy(F.col("src").alias("v")).agg(
+            F.count("*").alias("out_degree")
+        )
+
+    def vertices(self) -> DataFrame:
+        """All vertex ids 0..n-1 as a DataFrame (reference full-vertex scan S3)."""
+        return self.spark.range(self.num_nodes).select(F.col("id").alias("v"))
+
+    # ------------------------------------------------------------- CSR broadcast
+    def _collect_pairs(self, transposed: bool) -> np.ndarray:
+        df = self.edges_t if transposed else self.edges
+        pdf = df.toPandas()
+        return np.column_stack(
+            [pdf["src"].to_numpy(dtype=np.int64), pdf["dst"].to_numpy(dtype=np.int64)]
+        )
+
+    def csr_broadcast(self, transposed: bool = False):
+        """Broadcast-CSR adjacency (built once, cached). Fast path only — callers
+        must gate on graph size (see operators.bfs.DEFAULT_CSR_MAX_EDGES)."""
+        attr = "_csr_bwd" if transposed else "_csr_fwd"
+        bc = getattr(self, attr)
+        if bc is None:
+            csr = build_csr(self._collect_pairs(transposed), self.num_nodes)
+            bc = self.spark.sparkContext.broadcast(
+                {"offsets": csr.offsets, "targets": csr.targets, "n": csr.num_nodes}
+            )
+            setattr(self, attr, bc)
+        return bc
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        self.edges_t.unpersist()
+        if self.nodes is not None:
+            self.nodes.unpersist()
+        for attr in ("_csr_fwd", "_csr_bwd"):
+            bc = getattr(self, attr)
+            if bc is not None:
+                bc.unpersist()
+                setattr(self, attr, None)

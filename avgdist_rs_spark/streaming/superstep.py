@@ -1,0 +1,135 @@
+"""Superstep iteration support: lineage cutting, resumable checkpoints, metrics.
+
+The reference is batch-only (SURVEY.md §2.7); "streaming" in this engine means the
+superstep loops that drive BFS / PageRank / connected components. Spark has no
+fixpoint operator, so iteration lives on the driver, and two problems must be
+handled explicitly (SURVEY.md §4):
+
+1. **Lineage blow-up**: hundreds of supersteps of `union`/`join` build an
+   unboundedly deep plan. `Checkpointer.cut` truncates it — either via
+   `localCheckpoint` (fast, in-memory) or, when a checkpoint dir is configured,
+   by writing the state to Parquet and reading it back.
+2. **Resume** (north rule): Parquet checkpoints carry a JSON manifest per
+   superstep (superstep number, row count, wall seconds, state path), so a new
+   driver can resume any BFS/PageRank run from the last completed superstep.
+
+`SuperstepMetrics` records per-superstep wall time and frontier size and exposes
+`supersteps_per_min` — the benchmark unit in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SuperstepMetrics:
+    name: str = "superstep"
+    records: list[dict] = field(default_factory=list)
+    _t0: float = field(default_factory=time.monotonic)
+
+    def record(self, superstep: int, rows: int, wall_s: float, **extra) -> None:
+        self.records.append(
+            {"superstep": superstep, "rows": rows, "wall_s": wall_s, **extra}
+        )
+
+    @property
+    def total_supersteps(self) -> int:
+        return len(self.records)
+
+    @property
+    def total_wall_s(self) -> float:
+        return sum(r["wall_s"] for r in self.records)
+
+    def supersteps_per_min(self) -> float:
+        w = self.total_wall_s
+        return 60.0 * self.total_supersteps / w if w > 0 else float("inf")
+
+    def as_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "supersteps": self.total_supersteps,
+            "wall_s": round(self.total_wall_s, 3),
+            "supersteps_per_min": round(self.supersteps_per_min(), 2),
+            "per_superstep": self.records,
+        }
+
+
+class Checkpointer:
+    """Cuts DataFrame lineage every ``every`` supersteps; optionally durable.
+
+    With ``checkpoint_dir`` set, state is written to
+    ``{dir}/{name}/step={k}/`` as Parquet and a manifest line is appended to
+    ``{dir}/{name}/manifest.jsonl`` — the per-partition lineage lives in the
+    Parquet footer/partition layout, the logical lineage in the manifest.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str = "state",
+        checkpoint_dir: str | None = None,
+        every: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        self.dir = checkpoint_dir
+        self.every = max(1, every)
+        self._last_persisted: DataFrame | None = None
+
+    # ------------------------------------------------------------------ paths
+    def _step_path(self, step: int) -> str:
+        return os.path.join(self.dir, self.name, f"step={step}")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, self.name, "manifest.jsonl")
+
+    # ------------------------------------------------------------------ cut
+    def cut(self, df: DataFrame, superstep: int, rows: int | None = None,
+            wall_s: float | None = None, force: bool = False) -> DataFrame:
+        """Return ``df`` with truncated lineage (and durable state if configured)."""
+        if superstep % self.every != 0 and not force:
+            return df
+        if self.dir is None:
+            return df.localCheckpoint(eager=True)
+        path = self._step_path(superstep)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        os.makedirs(os.path.dirname(self._manifest_path()), exist_ok=True)
+        with open(self._manifest_path(), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "superstep": superstep,
+                        "path": path,
+                        "rows": rows,
+                        "wall_s": wall_s,
+                        "ts": time.time(),
+                    }
+                )
+                + "\n"
+            )
+        return out
+
+    # ------------------------------------------------------------------ resume
+    def latest(self) -> tuple[DataFrame, int] | None:
+        """(state, superstep) of the last durable checkpoint, or None."""
+        if self.dir is None:
+            return None
+        mp = self._manifest_path()
+        if not os.path.exists(mp):
+            return None
+        last = None
+        with open(mp) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    last = json.loads(line)
+        if last is None:
+            return None
+        return self.spark.read.parquet(last["path"]), int(last["superstep"])
