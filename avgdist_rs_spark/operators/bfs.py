@@ -168,6 +168,8 @@ def bfs_frontier(
     checkpointer: Checkpointer | None = None,
     metrics: SuperstepMetrics | None = None,
     max_supersteps: int | None = None,
+    num_salts: int | None = None,
+    hub_df: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed multi-source BFS: returns ``visited(seed, v, dist)`` including
     the (seed, seed, 0) rows. ``seeds`` must have a single long column ``seed``.
@@ -181,6 +183,20 @@ def bfs_frontier(
     # disjoint column names: the frontier is itself derived from edge joins, and
     # Spark's ambiguous-self-join analysis would otherwise reject superstep ≥ 2
     edges = base.select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+    salted = None
+    if num_salts and num_salts > 1:
+        # explicit hub-skew salting (north rule): split hot adjacency across
+        # num_salts shuffle partitions; see functions.salting
+        from ..functions.salting import salt_edges
+        from .degrees import hubs as detect_hubs
+
+        hdf = hub_df if hub_df is not None else detect_hubs(
+            graph, direction="dst" if transposed else "src"
+        ).select("v")
+        hdf = hdf.persist()
+        hdf.count()
+        salted = salt_edges(base, hdf, num_salts).persist()
+        salted.count()
     ckpt = checkpointer or Checkpointer(spark, name="bfs")
     met = metrics if metrics is not None else SuperstepMetrics(name="bfs")
 
@@ -202,10 +218,16 @@ def bfs_frontier(
     while True:
         t0 = time.monotonic()
         dist += 1
+        if salted is not None:
+            from ..functions.salting import salted_expand
+
+            expanded = salted_expand(frontier, salted, hdf, num_salts)
+        else:
+            expanded = frontier.join(edges, F.col("v") == F.col("_esrc")).select(
+                F.col("seed"), F.col("_edst").alias("v")
+            )
         nxt = (
-            frontier.join(edges, F.col("v") == F.col("_esrc"))
-            .select(F.col("seed"), F.col("_edst").alias("v"))
-            .dropDuplicates(["seed", "v"])
+            expanded.dropDuplicates(["seed", "v"])
             .join(visited.select("seed", "v"), ["seed", "v"], "left_anti")
             .localCheckpoint(eager=True)
         )
@@ -219,6 +241,9 @@ def bfs_frontier(
         frontier = nxt
         if max_supersteps is not None and dist >= max_supersteps:
             break
+    if salted is not None:
+        salted.unpersist()
+        hdf.unpersist()
     return visited
 
 

@@ -1,0 +1,75 @@
+"""Synchronous label propagation for community detection (north rule).
+
+Every vertex starts labeled with its own id; each superstep it adopts the most
+frequent label among its (undirected) in-neighbors, breaking frequency ties by
+the SMALLEST label — the deterministic tie-break is essential for exact-match
+testing (SURVEY.md §7.3). Vertices with no neighbors keep their label. Runs a
+fixed number of supersteps (synchronous LPA need not converge — it can
+oscillate on bipartite structures; fixed-iteration semantics are exactly
+reproducible by the SQL oracle).
+
+Physical plan per superstep: labels ⋈ symmetric edges (one shuffle) →
+``groupBy(v, label).count()`` → per-vertex argmax via max_by over the
+(count, -label) ordering — a single aggregate, no window sort.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..plans.graph import GraphFrame
+from ..streaming.superstep import Checkpointer, SuperstepMetrics
+
+
+def label_propagation(
+    graph: GraphFrame,
+    iterations: int = 5,
+    checkpointer: Checkpointer | None = None,
+    metrics: SuperstepMetrics | None = None,
+) -> DataFrame:
+    """(v, label) after ``iterations`` synchronous LPA supersteps."""
+    spark = graph.spark
+    met = metrics if metrics is not None else SuperstepMetrics(name="lpa")
+    ckpt = checkpointer or Checkpointer(spark, name="lpa", every=4)
+
+    sym = (
+        graph.symmetric_edges()
+        .select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()
+
+    labels = graph.vertices().select("v", F.col("v").alias("label")).localCheckpoint(
+        eager=True
+    )
+
+    for it in range(1, iterations + 1):
+        t0 = time.monotonic()
+        votes = (
+            labels.join(sym, labels.v == F.col("_esrc"))
+            .select(F.col("_edst").alias("v"), F.col("label"))
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax by (cnt desc, label asc): max_by with a sortable struct —
+        # deterministic, single aggregate, no window
+        winner = votes.groupBy("v").agg(
+            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias(
+                "new_label"
+            )
+        )
+        new_labels = (
+            labels.join(winner, "v", "left")
+            .select("v", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
+        )
+        new_labels = ckpt.cut(new_labels, it, wall_s=time.monotonic() - t0)
+        if ckpt.dir is None:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        met.record(it, graph.num_nodes, time.monotonic() - t0)
+        labels = new_labels
+    sym.unpersist()
+    return labels

@@ -1,0 +1,111 @@
+"""PageRank as a superstep loop of DataFrame joins (north rule; SURVEY.md §7.3).
+
+Standard damped formulation, d = 0.85:
+
+    r₀(v) = 1/n
+    rₖ₊₁(v) = (1−d)/n + d · ( Σ_{u→v} rₖ(u)/outdeg(u) + dangling_massₖ/n )
+
+Dangling vertices (out-degree 0 — the reference's "sinks", K7) spread their rank
+uniformly, keeping Σr = 1 at every iteration (tests assert this and 1e-6
+agreement with networkx at equal iteration counts).
+
+Physical plan per iteration: ranks ⋈ out-degree-normalized edges (edge side keeps
+its stable hash partitioning on src — only the n-row rank vector shuffles),
+partial+final sum aggregate on dst, one broadcast scalar for the dangling mass.
+Rank lineage is truncated every iteration; durable checkpoints + manifest enable
+resume of any superstep (north rule).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.graph import GraphFrame
+from ..streaming.superstep import Checkpointer, SuperstepMetrics
+
+
+def pagerank(
+    graph: GraphFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    tol: float | None = None,
+    checkpointer: Checkpointer | None = None,
+    metrics: SuperstepMetrics | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """(v, rank) after ``iterations`` supersteps (or earlier if L1 delta < tol)."""
+    spark = graph.spark
+    n = graph.num_nodes
+    met = metrics if metrics is not None else SuperstepMetrics(name="pagerank")
+    ckpt = checkpointer or Checkpointer(spark, name="pagerank", every=1)
+
+    # out-degree-normalized edge weights, computed once and persisted alongside
+    # the stable edge partitioning
+    deg = graph.edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    norm_edges = (
+        graph.edges.join(deg, "src")
+        .select(
+            F.col("src").alias("_esrc"),
+            F.col("dst").alias("_edst"),
+            (F.lit(1.0) / F.col("outdeg")).alias("_w"),
+        )
+        .persist()
+    )
+    norm_edges.count()
+
+    start_iter = 0
+    ranks: DataFrame | None = None
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            ranks, start_iter = latest
+    if ranks is None:
+        ranks = graph.vertices().select(
+            "v", (F.lit(1.0) / F.lit(float(n))).alias("rank")
+        ).localCheckpoint(eager=True)
+
+    for it in range(start_iter + 1, iterations + 1):
+        t0 = time.monotonic()
+        # dangling mass: total rank sitting on vertices with no out-edges
+        dangling = (
+            ranks.join(
+                graph.edges.select(F.col("src").alias("v")).distinct(), "v", "left_anti"
+            )
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            ranks.join(norm_edges, ranks.v == F.col("_esrc"))
+            .select(F.col("_edst").alias("v"), (F.col("rank") * F.col("_w")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            graph.vertices()
+            .join(contrib, "v", "left")
+            .fillna(0.0, subset=["c"])
+            .select("v", (F.lit(base) + F.lit(damping) * F.col("c")).alias("rank"))
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "v")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .collect()[0][0]
+            )
+        else:
+            delta = None
+        new_ranks = ckpt.cut(new_ranks, it, rows=n, wall_s=time.monotonic() - t0)
+        if ckpt.dir is None:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+        met.record(it, n, time.monotonic() - t0, l1_delta=delta)
+        if tol is not None and delta is not None and delta < tol:
+            break
+    norm_edges.unpersist()
+    return ranks

@@ -53,6 +53,25 @@ def seed_stats(pairs, n, seeds):
     return [bfs(adj, n, int(v))[:3] for v in seeds]
 
 
+def pagerank(pairs, n, iterations=40, damping=0.85):
+    """Pure-python PageRank with uniform dangling redistribution — the engine's
+    exact formulation (networkx.pagerank needs scipy, absent here)."""
+    out = defaultdict(list)
+    for s, d in pairs:
+        out[int(s)].append(int(d))
+    rank = [1.0 / n] * n
+    for _ in range(iterations):
+        dangling = sum(rank[v] for v in range(n) if not out.get(v))
+        contrib = [0.0] * n
+        for u, succs in out.items():
+            share = rank[u] / len(succs)
+            for v in succs:
+                contrib[v] += share
+        base = (1.0 - damping) / n + damping * dangling / n
+        rank = [base + damping * c for c in contrib]
+    return rank
+
+
 def coverage_weighted_sample(pairs_t, n, k, rng: np.random.Generator):
     """Oracle K4 (src/main.rs:56-111) on the transposed edge list."""
     adj, _ = adjacency(pairs_t, n)
