@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines over a documents table.
+
+Beyond-reference capability (the reference is a pure graph engine; these are the
+ops a 100 TB text corpus needs before it ever becomes a graph). All hot paths
+are JVM-side built-ins (split/explode/groupBy/min/md5) — whole-stage codegen,
+zero Python UDFs — and every operator is exactly reproducible in ANSI SQL via
+``functions.hashing.portable_hash64`` so the DuckDB oracle can verify values.
+
+Scale design:
+- exact dedup: one hash-shuffle on a 128-bit content key — the canonical
+  map-side-combinable groupBy.
+- n-gram Jaccard: the all-pairs shingle self-join is quadratic in per-shingle
+  frequency; it is the *correctness baseline*. At 100 TB use ``minhash_lsh_pairs``
+  (band-bucket join: candidates only collide within a band bucket, cost is
+  O(Σ bucket²) with bucket sizes controlled by bands×rows) and cap pathological
+  shingles with ``max_shingle_freq``.
+- MinHash signatures: ``num_hashes`` min-aggregates over the distinct
+  (doc, shingle) set — one shuffle, map-side partial mins.
+- SimHash: per-bit ±1 sums as N parallel aggregates in ONE groupBy pass
+  (no bit-explosion), then bit-assembly as a literal-weighted sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+
+# --------------------------------------------------------------------- exact
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors of exact dedup: min id per identical text (md5 content key).
+
+    Returns (keep_id, dup_count) per distinct content, keep_id = min(id).
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_key"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("keep_id", "dup_count")
+    )
+
+
+# ------------------------------------------------------------------ shingles
+def word_shingles(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (id, shingle).
+
+    Shingle text = k consecutive words joined by one space — the oracle builds
+    the identical string with ``ws[i] || ' ' || ws[i+1] ...``.
+    """
+    words = F.split(F.col(text_col), " ")
+    # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs shorter
+    # than k words must be gated explicitly or slice(start=0) throws at runtime.
+    gram = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(gram).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (a < b) with word-k-gram Jaccard ≥ threshold.
+
+    ``max_shingle_freq`` drops shingles shared by more than that many docs —
+    the standard stop-shingle cap that keeps the self-join from going quadratic
+    on boilerplate at corpus scale (changes semantics; leave None for oracle
+    parity).
+    """
+    sh = word_shingles(docs, k, id_col, text_col)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
+        sh = sh.join(freq.select("shingle"), "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------- minhash
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h0..h{num_hashes-1}) MinHash signature — min of salted portable
+    hashes over the doc's shingle set. One groupBy, map-side partial mins."""
+    sh = word_shingles(docs, k, id_col, text_col)
+    aggs = [
+        F.min(portable_hash64(F.col("shingle"), salt=f"mh{i}:")).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact-Jaccard verification.
+
+    Signature is cut into ``bands`` bands of ``num_hashes//bands`` rows; docs
+    colliding on any full band become candidates (joined only within band
+    buckets — the scale path); candidates are then verified with true Jaccard.
+    Returns (a, b, jaccard) with a < b, jaccard ≥ threshold.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, k, id_col, text_col)
+    band_cols = []
+    for bi in range(bands):
+        parts = [F.col(f"h{bi * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"b{bi}"))
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat_ws("|", F.lit(str(bi)), F.col(f"b{bi}")) for bi in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    cand = (
+        stacked.alias("x")
+        .join(stacked.alias("y"), "bucket")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    verified = jaccard_pairs(docs, k, threshold, id_col, text_col)
+    return cand.join(verified, ["a", "b"]).select("a", "b", "jaccard")
+
+
+# ------------------------------------------------------------------- simhash
+def simhash(
+    docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — ``bits``-bit SimHash over the word multiset.
+
+    Per word w: h = portable_hash64(w); bit b contributes +1 if (h>>b)&1 else
+    −1; fingerprint bit b is set iff the column sum > 0. Implemented as
+    ``bits`` sum-aggregates in a single groupBy (no per-bit row explosion).
+    """
+    wd = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).withColumn("h", portable_hash64(F.col("w"), salt="sh:"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = wd.groupBy("id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (a < b) with SimHash Hamming distance ≤ max_hamming.
+
+    All-pairs here (correctness baseline); the scale path buckets on
+    ``bits/(max_hamming+1)``-bit chunks (any pair within distance d shares at
+    least one of d+1 chunks) and joins within chunks only.
+    """
+    s = simhash(docs, bits, id_col, text_col)
+    a = s.select(F.col("id").alias("a"), F.col("simhash").alias("fa"))
+    b = s.select(F.col("id").alias("b"), F.col("simhash").alias("fb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

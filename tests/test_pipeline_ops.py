@@ -1,0 +1,182 @@
+"""Dedup / similarity / textstats / sessions / multimodal operator semantics.
+
+Oracles here are local numpy/pandas re-implementations; full cross-engine
+(DuckDB) verification of the same operators happens in test_entry.py via the
+driver contract.
+"""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from avgdist_rs_spark.functions.hashing import portable_hash64
+from avgdist_rs_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+    word_shingles,
+)
+from avgdist_rs_spark.operators.multimodal import attach_binary, extract_features
+from avgdist_rs_spark.operators.sessions import sessionize
+from avgdist_rs_spark.operators.similarity import cosine_topk, lsh_ann
+from avgdist_rs_spark.operators.textstats import lang_id, quality_score, token_count
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "el rapido zorro marron salta sobre el perro y la luna"),
+    (4, "completely different words entirely unrelated text here now"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def py_hash64(s: str, salt: str = "") -> int:
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)
+
+
+def test_portable_hash_matches_python_and_duckdb(spark):
+    import duckdb
+
+    vals = ["hello", "the quick", "ünïcode ok", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", portable_hash64("s", salt="x:").alias("h")
+    )
+    got = {r["s"]: r["h"] for r in df.collect()}
+    for v in vals:
+        assert got[v] == py_hash64(v, "x:")
+        dd = duckdb.sql(
+            f"select ('0x' || substr(md5('x:' || ?), 1, 15))::BIGINT", params=[v]
+        ).fetchone()[0]
+        assert got[v] == dd
+
+
+def test_exact_dedup(docs):
+    rows = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert rows == {0: 2, 1: 1, 3: 1, 4: 1}
+
+
+def test_word_shingles(docs):
+    sh = word_shingles(docs.where("doc_id=0"), k=3).collect()
+    got = sorted(r["shingle"] for r in sh)
+    words = DOCS[0][1].split()
+    want = sorted({" ".join(words[i : i + 3]) for i in range(len(words) - 2)})
+    assert got == want
+
+
+def test_jaccard_pairs(docs):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_pairs(docs, k=3, threshold=0.1).collect()}
+    # docs 0 and 2 identical -> jaccard 1.0; 0 and 1 share 5 of 9 distinct 3-grams
+    assert got[(0, 2)] == 1.0
+    s0 = {" ".join(DOCS[0][1].split()[i : i + 3]) for i in range(7)}
+    s1 = {" ".join(DOCS[1][1].split()[i : i + 3]) for i in range(7)}
+    want01 = round(len(s0 & s1) / len(s0 | s1), 6)
+    assert got[(0, 1)] == want01
+    assert (0, 4) not in got
+
+
+def test_minhash_signature_is_min_of_salted_hashes(docs):
+    sig = minhash_signatures(docs.where("doc_id=4"), num_hashes=4).collect()[0]
+    words = DOCS[4][1].split()
+    grams = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+    for i in range(4):
+        assert sig[f"h{i}"] == min(py_hash64(g, f"mh{i}:") for g in grams)
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    got = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert (0, 2) in got  # identical docs always collide
+    assert (0, 4) not in got and (3, 4) not in got
+
+
+def test_simhash_identical_docs_equal_and_pairs(docs):
+    fps = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[4]
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=0).collect()}
+    assert pairs[(0, 2)] == 0
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((30, 8)).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    got = cosine_topk(df, k=3, num_queries=2).toPandas()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(2):
+        order = [i for i in np.argsort(-sims[q], kind="stable") if i != q][:3]
+        mine = got[got.query_id == q].sort_values("rank")
+        assert list(mine.neighbor_id) == order
+        assert np.allclose(mine.sim, [round(sims[q][i], 4) for i in order], atol=1e-4)
+
+
+def test_lsh_ann_subset_of_bucket_and_ranked(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 8)).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    got = lsh_ann(df, k=3, num_queries=3, num_planes=4).toPandas()
+    assert set(got.columns) == {"query_id", "neighbor_id", "rank", "sim"}
+    # ranks are 1..k dense per query and sims non-increasing
+    for q, grp in got.groupby("query_id"):
+        g = grp.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g.sim) <= 1e-9).all()
+
+
+def test_textstats(docs):
+    tc = {r["id"]: r for r in token_count(docs).collect()}
+    assert tc[0]["n_tokens"] == 9 and tc[0]["n_distinct_tokens"] == 8
+    li = {r["id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert li[0] == "en" and li[3] == "es" and li[4] == "und"
+    qs = {r["id"]: r for r in quality_score(docs).collect()}
+    assert 0.0 <= qs[0]["quality"] <= 1.0 and qs[4]["quality"] == 1.0
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", "view"),
+        (2, 10, "2024-01-01 00:10:00", "click"),
+        (3, 10, "2024-01-01 01:10:00", "view"),   # 60 min gap -> new session
+        (4, 11, "2024-01-01 00:00:00", "view"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    s = {r["event_id"]: (r["session_idx"], r["turn_idx"]) for r in sessionize(ev).collect()}
+    assert s[1] == (1, 0) and s[2] == (1, 1) and s[3] == (2, 0) and s[4] == (1, 0)
+
+
+def test_multimodal_plumbing(docs):
+    media = attach_binary(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media, dim=16).toPandas().set_index("media_id")
+    assert len(feats) == 5
+    # deterministic: same payload -> same digest/features (docs 0 and 2)
+    assert feats.loc[0, "digest"] == feats.loc[2, "digest"]
+    assert np.allclose(feats.loc[0, "features"], feats.loc[2, "features"])
+    assert len(feats.loc[0, "features"]) == 16
+    assert feats.loc[0, "n_bytes"] == len(DOCS[0][1].encode())
+
+
+def test_decode_image_stub_raises(docs):
+    from avgdist_rs_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-an-image")
