@@ -1,38 +1,816 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline (events → session-conversation graph →
+exact avgdist estimator) at sf0.001. ``queries()`` exposes every implemented
+operator from SURVEY.md §2 plus the training-data pipeline ops; each has a
+value-exact DuckDB mirror in ``oracle_sql()`` (iterative algorithms are
+unrolled to the same fixed iteration counts; hashes use the portable md5-based
+hash so signatures match bit-for-bit).
+
+Canonical derived graph ("eg"): events are cut into 30-minute-gap sessions per
+user (the conversation analog of the transcript input_hint); edges =
+consecutive events within a session (reply edges) + event → event_type hub
+vertices (tool-invocation analog, deliberate skew). Vertex keys are strings
+'E:<event_id>' / 'H:<event_type>'; all per-vertex results are keyed by these
+strings so dense-id assignment never has to match across engines.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from avgdist_rs_spark.plans.graph import GraphFrame
+
+# ---------------------------------------------------------------------------
+# shared derivation: events → session graph (Spark side)
+# ---------------------------------------------------------------------------
+
+_GAP_S = 1800
+_PR_ITERS = 10
+_LP_ITERS = 4
+_CC_ROUNDS = 16  # oracle unroll; ≥ graph diameter (sessions ≤ 4 ⇒ dia ≤ 10)
+_DIST_MAX = 12  # oracle BFS closure depth bound (directed chains ≤ 5)
+_NQ, _TOPK = 8, 5  # similarity-query defaults
+_MH_HASHES, _MH_BANDS = 8, 4
+_SH_BITS = 32
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def event_edges(events: DataFrame) -> DataFrame:
+    """Session-conversation edges, string-keyed (see module docstring)."""
+    from avgdist_rs_spark.operators.sessions import sessionize
+
+    s = sessionize(events, gap_minutes=_GAP_S // 60)
+    w = Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    ekey = F.concat(F.lit("E:"), F.col("event_id").cast("string"))
+    chain = (
+        s.select(ekey.alias("src"), F.lead(ekey).over(w).alias("dst"))
+        .where(F.col("dst").isNotNull())
+    )
+    hub = events.select(
+        ekey.alias("src"), F.concat(F.lit("H:"), F.col("event_type")).alias("dst")
+    )
+    return chain.unionByName(hub).distinct()
+
+
+_CACHE: dict = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = GraphFrame.from_any_edges(event_edges(_events(spark, sf_dir)))
+    return _CACHE[key]
+
+
+def _orig(g: GraphFrame, df: DataFrame, cols: list[str]) -> DataFrame:
+    """Map dense-id columns back to their orig string keys (same column names)."""
+    out = df
+    for c in cols:
+        m = g.nodes.select(F.col("id").alias(c), F.col("orig").alias(f"_{c}"))
+        out = out.join(m, c).drop(c).withColumnRenamed(f"_{c}", c)
+    return out
+
+
+def _round_half_up(x: float, nd: int = 6) -> float:
+    return math.floor(x * 10**nd + 0.5) / 10**nd
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → session graph → exact avg-distance estimator."""
+    from avgdist_rs_spark.operators.avgdist import exact_avgdist
+    from avgdist_rs_spark.operators.degrees import sink_count
+    from avgdist_rs_spark.operators.triangles import triangle_count
+
+    g = _graph(spark, "/root/testdata/sf0.001")
+    res = exact_avgdist(g)
+    row = {
+        "num_nodes": g.num_nodes,
+        "num_edges": g.num_edges,
+        "avg_distance": float(res["avg_distance"]),
+        "diameter": int(res["diameter"]),
+        "reached_pairs": int(res["reached_pairs"]),
+        "sinks": int(sink_count(g)),
+        "triangles": int(triangle_count(g)),
+    }
+    return spark.createDataFrame(
+        [row],
+        "num_nodes long, num_edges long, avg_distance double, diameter long, "
+        "reached_pairs long, sinks long, triangles long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_edges(spark, sf):
+    return event_edges(_events(spark, sf))
+
+
+def _q_out_degrees(spark, sf):
+    g = _graph(spark, sf)
+    deg = g.edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("out_degree"))
+    return _orig(g, deg, ["v"]).select("v", F.col("out_degree").cast("long"))
+
+
+def _q_degree_histogram(spark, sf):
+    from avgdist_rs_spark.operators.degrees import degree_histogram
+
+    g = _graph(spark, sf)
+    return degree_histogram(g, "out").select(
+        F.col("degree").cast("long").alias("out_degree"), F.col("cnt").cast("long").alias("n")
+    )
+
+
+def _q_sink_count(spark, sf):
+    from avgdist_rs_spark.operators.degrees import sink_count
+
+    g = _graph(spark, sf)
+    return spark.createDataFrame([(sink_count(g),)], "sinks long")
+
+
+def _q_triangle_count(spark, sf):
+    from avgdist_rs_spark.operators.triangles import triangle_count
+
+    g = _graph(spark, sf)
+    return spark.createDataFrame([(triangle_count(g),)], "triangles long")
+
+
+def _q_connected_components(spark, sf):
+    from avgdist_rs_spark.operators.components import connected_components
+
+    g = _graph(spark, sf)
+    cc = connected_components(g)
+    return _orig(g, cc, ["v", "component"]).select("v", "component")
+
+
+def _q_pagerank(spark, sf):
+    from avgdist_rs_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, sf)
+    pr = pagerank(g, iterations=_PR_ITERS, damping=0.85)
+    return _orig(g, pr, ["v"]).select("v", F.round("rank", 6).alias("rank"))
+
+
+def _q_label_propagation(spark, sf):
+    from avgdist_rs_spark.operators.labelprop import label_propagation
+
+    g = _graph(spark, sf)
+    lp = label_propagation(g, iterations=_LP_ITERS)
+    return _orig(g, lp, ["v", "label"]).select("v", "label")
+
+
+def _q_avgdist_exact(spark, sf):
+    from avgdist_rs_spark.operators.avgdist import exact_avgdist
+
+    g = _graph(spark, sf)
+    r = exact_avgdist(g)
+    return spark.createDataFrame(
+        [(_round_half_up(r["avg_distance"]), r["diameter"], r["reached_pairs"])],
+        "avg_distance double, diameter long, reached_pairs long",
+    )
+
+
+def _q_harmonic(spark, sf):
+    from avgdist_rs_spark.operators.centrality import harmonic_centrality
+
+    g = _graph(spark, sf)
+    h = harmonic_centrality(g, exact=True)
+    return _orig(g, h, ["v"]).select(
+        "v", F.round("harmonic", 6).alias("harmonic"), F.col("coverage").cast("long")
+    )
+
+
+def _q_closeness(spark, sf):
+    from avgdist_rs_spark.operators.centrality import closeness_centrality
+
+    g = _graph(spark, sf)
+    c = closeness_centrality(g, exact=True)
+    return _orig(g, c, ["v"]).select("v", F.round("closeness", 12).alias("closeness"))
+
+
+def _q_bfs_from_seed(spark, sf):
+    from avgdist_rs_spark.operators.bfs import bfs_csr
+
+    g = _graph(spark, sf)
+    seed = g.nodes.where(F.col("orig") == "E:0").collect()[0]["id"]
+    cap = bfs_csr(g, np.array([seed], dtype=np.int64), capture=True)
+    return _orig(g, cap.select("v", "dist"), ["v"]).select(
+        "v", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _q_reach_counts(spark, sf):
+    from avgdist_rs_spark.operators.bfs import bfs_csr
+
+    g = _graph(spark, sf)
+    seeds = np.arange(g.num_nodes, dtype=np.int64)
+    cap = bfs_csr(g, seeds, capture=True)
+    cnt = cap.groupBy("v").agg(F.count("*").alias("n_reaching"))
+    return _orig(g, cnt, ["v"]).select("v", F.col("n_reaching").cast("long"))
+
+
+# ---- documents / embeddings / events-pipeline queries ----------------------
+
+
+def _q_dedup_exact(spark, sf):
+    from avgdist_rs_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf)).select(
+        F.col("keep_id").cast("long"), F.col("dup_count").cast("long")
+    )
+
+
+def _q_jaccard_pairs(spark, sf):
+    from avgdist_rs_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf), k=3, threshold=0.8).select(
+        F.col("a").cast("long"), F.col("b").cast("long"), "jaccard"
+    )
+
+
+def _q_minhash_signatures(spark, sf):
+    from avgdist_rs_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf), num_hashes=_MH_HASHES).select(
+        F.col("id").cast("long"), *[f"h{i}" for i in range(_MH_HASHES)]
+    )
+
+
+def _q_minhash_lsh(spark, sf):
+    from avgdist_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf), num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.8
+    ).select(F.col("a").cast("long"), F.col("b").cast("long"), "jaccard")
+
+
+def _q_simhash(spark, sf):
+    from avgdist_rs_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf), bits=_SH_BITS).select(
+        F.col("id").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+def _q_simhash_pairs(spark, sf):
+    from avgdist_rs_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf), bits=_SH_BITS, max_hamming=6).select(
+        F.col("a").cast("long"), F.col("b").cast("long"), F.col("hamming").cast("long")
+    )
+
+
+def _q_token_count(spark, sf):
+    from avgdist_rs_spark.operators.textstats import token_count
+
+    t = token_count(_docs(spark, sf))
+    return t.select(
+        F.col("id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_distinct_tokens").cast("long"),
+        F.col("n_chars").cast("long"),
+    )
+
+
+def _q_lang_id(spark, sf):
+    from avgdist_rs_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf)).select(F.col("id").cast("long"), "lang_pred", "hit_ratio")
+
+
+def _q_quality(spark, sf):
+    from avgdist_rs_spark.operators.textstats import quality_score
+
+    q = quality_score(_docs(spark, sf))
+    return q.select(
+        F.col("id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        "mean_token_len",
+        "distinct_ratio",
+        "quality",
+    )
+
+
+def _q_fingerprint(spark, sf):
+    from avgdist_rs_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf), k=4).select(F.col("id").cast("long"), "fp")
+
+
+def _q_cosine_topk(spark, sf):
+    from avgdist_rs_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf), k=_TOPK, num_queries=_NQ).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        F.col("rank").cast("long"),
+        "sim",
+    )
+
+
+def _q_lsh_ann(spark, sf):
+    from avgdist_rs_spark.operators.similarity import lsh_ann
+
+    return lsh_ann(_emb(spark, sf), k=_TOPK, num_queries=_NQ, num_planes=6, seed=42).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        F.col("rank").cast("long"),
+        "sim",
+    )
+
+
+def _q_session_stats(spark, sf):
+    from avgdist_rs_spark.operators.sessions import session_stats
+
+    s = session_stats(_events(spark, sf))
+    return s.select(
+        F.col("user_id").cast("long"),
+        F.col("session_idx").cast("long"),
+        F.col("n_events").cast("long"),
+        F.unix_timestamp("started").alias("started_s"),
+        F.unix_timestamp("ended").alias("ended_s"),
+        F.col("duration_s").cast("long"),
+    )
+
+
+def _q_media_metadata(spark, sf):
+    from avgdist_rs_spark.operators.multimodal import attach_binary, media_metadata
+
+    m = media_metadata(attach_binary(_docs(spark, sf)))
+    return m.select(
+        "kind",
+        F.col("n").cast("long"),
+        F.col("total_bytes").cast("long"),
+        F.col("min_bytes").cast("long"),
+        F.col("max_bytes").cast("long"),
+    )
+
+
+def _q_media_features(spark, sf):
+    from avgdist_rs_spark.operators.multimodal import attach_binary, extract_features
+
+    f = extract_features(attach_binary(_docs(spark, sf)), dim=16)
+    return f.select(F.col("media_id").cast("long"), "digest", F.col("n_bytes").cast("long"))
+
+
+def _q_avgdist_sampled(spark, sf):
+    """Seeded sampling estimator (uniform seeds) — non-SQL (RNG), rows-only check."""
+    from avgdist_rs_spark.operators.avgdist import avgdist_unipairs
+
+    g = _graph(spark, sf)
+    r = avgdist_unipairs(g, eps=0.2, exact=False, seed=42)
+    return spark.createDataFrame(
+        [(float(r["avg_distance"]), int(r["diameter"]))], "avg_distance double, diameter long"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "eg_edges": _q_edges,
+        "eg_out_degrees": _q_out_degrees,
+        "eg_degree_histogram": _q_degree_histogram,
+        "eg_sink_count": _q_sink_count,
+        "eg_triangle_count": _q_triangle_count,
+        "eg_connected_components": _q_connected_components,
+        "eg_pagerank": _q_pagerank,
+        "eg_label_propagation": _q_label_propagation,
+        "eg_avgdist_exact": _q_avgdist_exact,
+        "eg_harmonic": _q_harmonic,
+        "eg_closeness": _q_closeness,
+        "eg_bfs_from_seed": _q_bfs_from_seed,
+        "eg_reach_counts": _q_reach_counts,
+        "eg_avgdist_sampled": _q_avgdist_sampled,
+        "doc_dedup_exact": _q_dedup_exact,
+        "doc_jaccard_pairs": _q_jaccard_pairs,
+        "doc_minhash_signatures": _q_minhash_signatures,
+        "doc_minhash_lsh": _q_minhash_lsh,
+        "doc_simhash": _q_simhash,
+        "doc_simhash_pairs": _q_simhash_pairs,
+        "doc_token_count": _q_token_count,
+        "doc_lang_id": _q_lang_id,
+        "doc_quality": _q_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "emb_cosine_topk": _q_cosine_topk,
+        "emb_lsh_ann": _q_lsh_ann,
+        "events_session_stats": _q_session_stats,
+        "media_metadata": _q_media_metadata,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+#: shared session-graph derivation — integer-second timestamps mirror Spark's
+#: unix_timestamp() exactly (floor of epoch)
+_EG = f"""
+lagged AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+sess AS (
+  SELECT event_id, user_id, event_type, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                  OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > {_GAP_S}
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+           AS session_idx
+  FROM lagged),
+nxt AS (
+  SELECT event_id,
+         lead(event_id) OVER (PARTITION BY user_id, session_idx ORDER BY ts, event_id)
+           AS next_id
+  FROM sess),
+eg_edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'E:' || CAST(event_id AS VARCHAR) AS src,
+           'E:' || CAST(next_id AS VARCHAR) AS dst
+    FROM nxt WHERE next_id IS NOT NULL
+    UNION ALL
+    SELECT 'E:' || CAST(event_id AS VARCHAR), 'H:' || event_type FROM events)),
+eg_verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM eg_edges UNION ALL SELECT dst AS v FROM eg_edges))
+"""
+# NB: eg_verts dedups explicitly and every multiply-referenced CTE is
+# MATERIALIZED: under WITH RECURSIVE DuckDB gives bare UNION recursive-union
+# semantics (no dedup), and non-materialized CTEs are inlined per reference —
+# exponential plan blowup across unrolled iterations (fd exhaustion).
+
+_OG = "og AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM eg_edges GROUP BY src)"
+_NN = "nn AS MATERIALIZED (SELECT count(*) AS n FROM eg_verts)"
+
+#: directed BFS closure: min hop distance for every reachable ordered pair
+_MIND = f"""
+dd(v, w, d) AS (
+  SELECT src, dst, 1 FROM eg_edges
+  UNION
+  SELECT dd.v, e.dst, dd.d + 1 FROM dd JOIN eg_edges e ON dd.w = e.src
+  WHERE dd.d < {_DIST_MAX}),
+mind AS MATERIALIZED (SELECT v, w, min(d) AS d FROM dd GROUP BY v, w)
+"""
+
+_SYM = (
+    "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM eg_edges UNION ALL SELECT dst AS src, src AS dst FROM eg_edges))"
+)
+
+
+def _pagerank_sql() -> str:
+    parts = [
+        _EG,
+        _OG,
+        _NN,
+        "r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS rank FROM eg_verts)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS m FROM r{p} "
+            f"WHERE v NOT IN (SELECT v FROM og))"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS v, sum(r.rank * (1.0 / o.od)) AS c "
+            f"FROM r{p} r JOIN eg_edges e ON e.src = r.v JOIN og o ON o.v = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT t.v, (1.0 - 0.85) / (SELECT n FROM nn) "
+            f"+ 0.85 * (SELECT m FROM d{i}) / (SELECT n FROM nn) "
+            f"+ 0.85 * coalesce(c.c, 0.0) AS rank "
+            f"FROM eg_verts t LEFT JOIN c{i} c ON c.v = t.v)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT v, round(rank, 6) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+def _cc_sql() -> str:
+    parts = [_EG, _SYM, "l0 AS MATERIALIZED (SELECT v, v AS comp FROM eg_verts)"]
+    for i in range(1, _CC_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT s.dst AS v, min(l.comp) AS cand "
+            f"FROM l{p} l JOIN sym s ON s.src = l.v GROUP BY s.dst)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.v, least(l.comp, coalesce(m.cand, l.comp)) AS comp "
+            f"FROM l{p} l LEFT JOIN m{i} m ON m.v = l.v)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT v, comp AS component FROM l{_CC_ROUNDS}"
+
+
+def _lp_sql() -> str:
+    parts = [_EG, _SYM, "p0 AS MATERIALIZED (SELECT v, v AS label FROM eg_verts)"]
+    for i in range(1, _LP_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT s.dst AS v, l.label, count(*) AS cnt "
+            f"FROM p{p} l JOIN sym s ON s.src = l.v GROUP BY s.dst, l.label)"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT v, label FROM (SELECT v, label, row_number() OVER "
+            f"(PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn FROM v{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT p.v, coalesce(w.label, p.label) AS label "
+            f"FROM p{p} p LEFT JOIN w{i} w ON w.v = p.v)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT v, label FROM p{_LP_ITERS}"
+
+
+def _simhash_sql() -> str:
+    cases = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SH_BITS))
+    return f"""
+WITH wd AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),
+hh AS MATERIALIZED (SELECT id, (('0x' || substr(md5('sh:' || w), 1, 15))::BIGINT) AS h FROM wd),
+sums AS MATERIALIZED (SELECT id, {cases} FROM hh GROUP BY id),
+fp AS MATERIALIZED (SELECT id, ({fp})::BIGINT AS simhash FROM sums)
+"""
+
+
+_SHINGLES = """
+sh AS MATERIALIZED (
+  SELECT DISTINCT id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id AS id, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
+"""
+
+_JACCARD = """
+sz AS MATERIALIZED (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT x.id AS a, y.id AS b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+  GROUP BY x.id, y.id),
+jac AS MATERIALIZED (
+  SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.id = a JOIN sz sb ON sb.id = b)
+"""
+
+
+def _minhash_sig_select() -> str:
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('mh{i}:' || shingle), 1, 15))::BIGINT) AS h{i}"
+        for i in range(_MH_HASHES)
+    )
+    return f"sig AS MATERIALIZED (SELECT id, {mins} FROM sh GROUP BY id)"
+
+
+def _minhash_lsh_sql() -> str:
+    rows = _MH_HASHES // _MH_BANDS
+    band_joins = []
+    for bi in range(_MH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(x.h{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        cols_y = " || ',' || ".join(
+            f"CAST(y.h{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_joins.append(
+            f"SELECT x.id AS a, y.id AS b FROM sig x JOIN sig y "
+            f"ON md5({cols}) = md5({cols_y}) AND x.id < y.id"
+        )
+    cand = " UNION ".join(band_joins)
+    return f"""
+WITH {_SHINGLES.strip().rstrip(',')},
+{_minhash_sig_select()},
+cand AS ({cand}),
+{_JACCARD.strip()}
+SELECT c.a, c.b, j.jaccard FROM cand c JOIN jac j ON j.a = c.a AND j.b = c.b
+WHERE j.jaccard >= 0.8
+"""
+
+
+_LANGS = {
+    "de": ["der", "die", "und", "das", "in", "zu", "den", "mit", "von", "ist"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+}
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for L, sw in sorted(_LANGS.items()):
+        lst = ", ".join(f"'{w}'" for w in sw)
+        score_cols.append(
+            f"len(list_filter(ws, w -> list_contains([{lst}], w))) / len(ws) AS sc_{L}"
+        )
+    scores = ", ".join(score_cols)
+    langs = sorted(_LANGS)
+    best = "greatest(" + ", ".join(f"sc_{L}" for L in langs) + ")"
+    cases = " ".join(
+        f"WHEN sc_{L} = best AND best > 0 THEN '{L}'" for L in langs
+    )
+    return f"""
+WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+sc AS (SELECT id, {scores} FROM w),
+b AS (SELECT id, sc_de, sc_en, sc_es, {best} AS best FROM sc)
+SELECT id, CASE {cases} ELSE 'und' END AS lang_pred, round(best, 6) AS hit_ratio FROM b
+"""
+
+
+def _planes_sql_literals() -> list[str]:
+    from avgdist_rs_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(6, 64, seed=42)
+    return ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _cosine_topk_sql() -> str:
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_NQ}),
+s AS (SELECT qid, e.vec_id AS nid, {_cosine_expr('qv', 'e.v')} AS sim_raw
+      FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+r AS (SELECT qid, nid, sim_raw,
+             row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid ASC) AS rnk
+      FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, rnk::BIGINT AS rank,
+       round(sim_raw, 4) AS sim
+FROM r WHERE rnk <= {_TOPK}
+"""
+
+
+def _lsh_ann_sql() -> str:
+    planes = _planes_sql_literals()
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)" for p in planes
+    )
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS MATERIALIZED (SELECT vec_id AS nid, v AS nv, {bits} AS bucket FROM e),
+q AS (SELECT nid AS qid, nv AS qv, bucket FROM sig WHERE nid < {_NQ}),
+s AS (SELECT qid, sig.nid, {_cosine_expr('qv', 'sig.nv')} AS sim_raw
+      FROM sig JOIN q USING (bucket) WHERE sig.nid <> qid),
+r AS (SELECT qid, nid, sim_raw,
+             row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid ASC) AS rnk
+      FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, rnk::BIGINT AS rank,
+       round(sim_raw, 4) AS sim
+FROM r WHERE rnk <= {_TOPK}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "eg_edges": f"WITH {_EG} SELECT src, dst FROM eg_edges",
+        "eg_out_degrees": (
+            f"WITH {_EG}, {_OG} SELECT v, od::BIGINT AS out_degree FROM og"
+        ),
+        "eg_degree_histogram": (
+            f"WITH {_EG}, {_OG} "
+            "SELECT coalesce(o.od, 0)::BIGINT AS out_degree, count(*)::BIGINT AS n "
+            "FROM eg_verts t LEFT JOIN og o ON o.v = t.v GROUP BY 1"
+        ),
+        "eg_sink_count": (
+            f"WITH {_EG} SELECT count(*)::BIGINT AS sinks FROM eg_verts "
+            "WHERE v NOT IN (SELECT src FROM eg_edges)"
+        ),
+        "eg_triangle_count": (
+            f"WITH {_EG}, "
+            "c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            "      FROM eg_edges WHERE src <> dst) "
+            "SELECT count(*)::BIGINT AS triangles "
+            "FROM c e1 JOIN c e2 ON e2.a = e1.b JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b"
+        ),
+        "eg_connected_components": _cc_sql(),
+        "eg_pagerank": _pagerank_sql(),
+        "eg_label_propagation": _lp_sql(),
+        "eg_avgdist_exact": (
+            f"WITH RECURSIVE {_EG}, {_MIND} "
+            "SELECT round(sum(d)::DOUBLE / count(*), 6) AS avg_distance, "
+            "max(d)::BIGINT AS diameter, count(*)::BIGINT AS reached_pairs FROM mind"
+        ),
+        "eg_harmonic": (
+            f"WITH RECURSIVE {_EG}, {_NN}, {_MIND} "
+            "SELECT w AS v, round(sum(1.0 / (1.0 + d)) / (SELECT n FROM nn), 6) AS harmonic, "
+            "count(*)::BIGINT AS coverage FROM mind GROUP BY w"
+        ),
+        "eg_closeness": (
+            f"WITH RECURSIVE {_EG}, {_NN}, {_MIND} "
+            "SELECT w AS v, round(1.0 / (sum(d) * (SELECT n FROM nn)), 12) AS closeness "
+            "FROM mind GROUP BY w"
+        ),
+        "eg_bfs_from_seed": (
+            f"WITH RECURSIVE {_EG}, {_MIND} "
+            "SELECT w AS v, d::BIGINT AS dist FROM mind WHERE v = 'E:0'"
+        ),
+        "eg_reach_counts": (
+            f"WITH RECURSIVE {_EG}, {_MIND} "
+            "SELECT w AS v, count(*)::BIGINT AS n_reaching FROM mind GROUP BY w"
+        ),
+        "doc_dedup_exact": (
+            "SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS dup_count "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "doc_jaccard_pairs": (
+            f"WITH {_SHINGLES.strip()}, {_JACCARD.strip()} "
+            "SELECT a::BIGINT AS a, b::BIGINT AS b, jaccard FROM jac WHERE jaccard >= 0.8"
+        ),
+        "doc_minhash_signatures": (
+            f"WITH {_SHINGLES.strip()}, {_minhash_sig_select()} "
+            f"SELECT id::BIGINT AS id, {', '.join(f'h{i}' for i in range(_MH_HASHES))} FROM sig"
+        ),
+        "doc_minhash_lsh": _minhash_lsh_sql(),
+        "doc_simhash": _simhash_sql() + "SELECT id::BIGINT AS id, simhash FROM fp",
+        "doc_simhash_pairs": (
+            _simhash_sql()
+            + "SELECT x.id::BIGINT AS a, y.id::BIGINT AS b, "
+            "bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming "
+            "FROM fp x JOIN fp y ON x.id < y.id "
+            "WHERE bit_count(xor(x.simhash, y.simhash)) <= 6"
+        ),
+        "doc_token_count": (
+            "SELECT doc_id::BIGINT AS id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
+            "len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens, "
+            "length(text)::BIGINT AS n_chars FROM documents"
+        ),
+        "doc_lang_id": _lang_id_sql(),
+        "doc_quality": (
+            "WITH t AS (SELECT doc_id AS id, text, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "m AS (SELECT id, len(ws) AS n, "
+            "(length(text) - (len(ws) - 1)) / len(ws) AS mean_len, "
+            "len(list_distinct(ws)) / len(ws) AS dr FROM t) "
+            "SELECT id::BIGINT AS id, n::BIGINT AS n_tokens, "
+            "round(mean_len, 6) AS mean_token_len, round(dr, 6) AS distinct_ratio, "
+            "round(((CASE WHEN n >= 5 AND n <= 1000 THEN 1.0 ELSE 0.0 END) + "
+            "(CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.0 END) + "
+            "(CASE WHEN dr >= 0.3 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality FROM m"
+        ),
+        "doc_fingerprint": (
+            "WITH sh AS (SELECT DISTINCT id, "
+            "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle "
+            "FROM (SELECT doc_id AS id, ws, "
+            "unnest(generate_series(1, greatest(len(ws)-3, 0))) AS i "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))) "
+            "SELECT id::BIGINT AS id, "
+            "min(('0x' || substr(md5('fp:' || shingle), 1, 15))::BIGINT) AS fp "
+            "FROM sh GROUP BY id"
+        ),
+        "emb_cosine_topk": _cosine_topk_sql(),
+        "emb_lsh_ann": _lsh_ann_sql(),
+        "events_session_stats": (
+            "WITH lagged AS (SELECT event_id, user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events), "
+            "sess AS (SELECT event_id, user_id, ts, "
+            f"sum(CASE WHEN prev_ts IS NULL OR floor(epoch(ts))::BIGINT - "
+            f"floor(epoch(prev_ts))::BIGINT > {_GAP_S} THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS session_idx FROM lagged) "
+            "SELECT user_id::BIGINT AS user_id, session_idx::BIGINT AS session_idx, "
+            "count(*)::BIGINT AS n_events, floor(epoch(min(ts)))::BIGINT AS started_s, "
+            "floor(epoch(max(ts)))::BIGINT AS ended_s, "
+            "(floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_s "
+            "FROM sess GROUP BY user_id, session_idx"
+        ),
+        "media_metadata": (
+            "SELECT 'blob' AS kind, count(*)::BIGINT AS n, "
+            "sum(octet_length(encode(text)))::BIGINT AS total_bytes, "
+            "min(octet_length(encode(text)))::BIGINT AS min_bytes, "
+            "max(octet_length(encode(text)))::BIGINT AS max_bytes FROM documents"
+        ),
+        # eg_avgdist_sampled, media_features: non-SQL (seeded RNG / sha256 UDF)
+        # → rows-only check by design.
+    }
+    return sql
