@@ -1,0 +1,116 @@
+"""Headline benchmark suite. Prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Covers the north-rule workloads (graph build, PageRank supersteps, connected
+components, label propagation, the avgdist sampling estimator, multi-source
+BFS) and the training-data pipeline heavies (MinHash-LSH dedup, SimHash,
+cosine top-k, sessionization). ``supersteps_per_min`` is reported for the
+iterative kernels — the reference's throughput metric (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"avgdist-rs-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+    from avgdist_rs_spark.operators.avgdist import avgdist_main
+    from avgdist_rs_spark.operators.bfs import bfs_csr
+    from avgdist_rs_spark.operators.components import connected_components
+    from avgdist_rs_spark.operators.dedup import minhash_lsh_pairs, simhash
+    from avgdist_rs_spark.operators.labelprop import label_propagation
+    from avgdist_rs_spark.operators.pagerank import pagerank
+    from avgdist_rs_spark.operators.sessions import session_stats
+    from avgdist_rs_spark.operators.similarity import cosine_topk
+    from avgdist_rs_spark.operators.triangles import triangle_count
+    from avgdist_rs_spark.streaming.superstep import SuperstepMetrics
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = em._emb(spark, sf_dir)
+    events = em._events(spark, sf_dir)
+
+    g = timed("graph_build", lambda: em._graph(spark, sf_dir))
+
+    pr_met = SuperstepMetrics(name="pagerank")
+    timed("pagerank_10it", lambda: pagerank(g, iterations=10, metrics=pr_met).count())
+    extras["pagerank_supersteps_per_min"] = round(pr_met.supersteps_per_min(), 2)
+
+    cc_met = SuperstepMetrics(name="cc")
+    timed("connected_components", lambda: connected_components(g, metrics=cc_met).count())
+    extras["cc_supersteps"] = cc_met.total_supersteps
+    extras["cc_supersteps_per_min"] = round(cc_met.supersteps_per_min(), 2)
+
+    timed("label_propagation_4it", lambda: label_propagation(g, iterations=4).count())
+
+    r = timed(
+        "avgdist_estimator",
+        lambda: avgdist_main(g, slot=64, eps=0.1, dummy=True, seed=42, max_batches=4),
+    )
+    extras["avgdist_estimate_norm"] = round(float(r.final.get("norm") or 0.0), 6)
+
+    rng = np.random.default_rng(7)
+    seeds = rng.integers(0, g.num_nodes, size=2048)
+    timed("bfs_2048_sources", lambda: bfs_csr(g, seeds).count())
+
+    timed("triangle_count", lambda: triangle_count(g))
+    timed("minhash_lsh_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.8).count())
+    timed("simhash", lambda: simhash(docs).count())
+    timed("cosine_topk", lambda: cosine_topk(emb, k=10, num_queries=32).count())
+    timed("sessionize", lambda: session_stats(events).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (graph kernels + pipeline ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "num_nodes": g.num_nodes,
+                "num_edges": g.num_edges,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
