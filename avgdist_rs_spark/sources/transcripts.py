@@ -164,18 +164,40 @@ def tool_edges(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def transcript_edges(transcripts: DataFrame) -> DataFrame:
-    """Union of reply + tool-invocation edges (string keys)."""
-    return reply_edges(transcripts).unionByName(tool_edges(transcripts))
+def tool_response_edges(transcripts: DataFrame) -> DataFrame:
+    """(tool vertex) → (turn after the invoking turn): the tool's output feeds
+    the next turn. Makes tool vertices broadcast hubs (out- as well as
+    in-degree), connecting conversations into one short-diameter component —
+    the regime the north rule's BFS-supersteps benchmark measures."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = F.lead(
+        F.concat_ws(":", F.lit("T"), "conv_id", F.col("turn_idx").cast("string"))
+    ).over(w)
+    return (
+        transcripts.withColumn("_next", nxt)
+        .where(F.col("tool").isNotNull() & F.col("_next").isNotNull())
+        .select(
+            F.concat_ws(":", F.lit("tool"), "tool").alias("src"),
+            F.col("_next").alias("dst"),
+        )
+    )
 
 
-def transcript_graph(transcripts: DataFrame) -> GraphFrame:
+def transcript_edges(transcripts: DataFrame, tool_responses: bool = False) -> DataFrame:
+    """Union of reply + tool-invocation (+ optional tool-response) edges."""
+    e = reply_edges(transcripts).unionByName(tool_edges(transcripts))
+    if tool_responses:
+        e = e.unionByName(tool_response_edges(transcripts))
+    return e
+
+
+def transcript_graph(transcripts: DataFrame, tool_responses: bool = False) -> GraphFrame:
     """Full ingest: transcripts → string-keyed edges → densified GraphFrame.
 
     The dense-id mapping lands in ``graph.nodes`` — the analog of the
     reference's ``*.nodes`` side files (``data/github/github.nodes``).
     """
-    return GraphFrame.from_any_edges(transcript_edges(transcripts))
+    return GraphFrame.from_any_edges(transcript_edges(transcripts, tool_responses))
 
 
 def write_transcripts(transcripts: DataFrame, path: str) -> None:

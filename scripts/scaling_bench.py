@@ -1,0 +1,103 @@
+"""One scaling-bench run at a single parallelism level. Prints ONE JSON line.
+
+North-rule evidence job: the identical workload on the identical deterministic
+input at two parallelism levels (local[8] vs local[32] — no real cluster in
+this sandbox) must show throughput scaling efficiency ≥ 0.8 (BASELINE.md §2).
+
+Workloads over the synthetic transcript graph (the north rule's input shape,
+seeded, generated distributed — identical bits at any parallelism):
+- ``bfs``: multi-source BFS from SEEDS deterministic sources, seed-parallel
+  over the broadcast-CSR kernel (supersteps = Σ per-seed BFS levels) — the
+  reference's estimator hot loop.
+- ``pagerank``: distributed-DataFrame supersteps (shuffle-bound path).
+
+Env: SPARK_GRAFT_CPUS (parallelism), SCALE_CONVS (default 100_000),
+SCALE_SEEDS (default 384), SCALE_PR_ITERS (default 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SCALE_CONVS", "20000"))
+    n_seeds = int(os.environ.get("SCALE_SEEDS", "32768"))
+    pr_iters = int(os.environ.get("SCALE_PR_ITERS", "6"))
+    trials = int(os.environ.get("SCALE_TRIALS", "3"))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"scaling-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from avgdist_rs_spark.operators.bfs import bfs_csr
+    from avgdist_rs_spark.operators.pagerank import pagerank
+    from avgdist_rs_spark.sources.transcripts import synth_transcripts, transcript_graph
+    from avgdist_rs_spark.streaming.superstep import SuperstepMetrics
+
+    t0 = time.monotonic()
+    tr = synth_transcripts(spark, n_convs=n_convs, mean_turns=8, n_tools=32, seed=42)
+    g = transcript_graph(tr, tool_responses=True)
+    g.csr_broadcast()  # setup: ship adjacency once (untimed vs workloads)
+    setup_s = time.monotonic() - t0
+
+    rng = np.random.default_rng(7)
+    seeds = rng.integers(0, g.num_nodes, size=n_seeds)
+
+    # warmup: loads the CSR broadcast into every python worker once (that
+    # one-time deserialization would otherwise be charged to the timed run)
+    bfs_csr(g, rng.integers(0, g.num_nodes, size=4 * cpus)).count()
+
+    # best-of-N wall: the sandbox is a shared box (background load ±20%);
+    # min over trials is the standard noise-robust estimator here
+    bfs_s = float("inf")
+    for _ in range(trials):
+        t0 = time.monotonic()
+        stats = bfs_csr(g, seeds).toPandas()
+        bfs_s = min(bfs_s, time.monotonic() - t0)
+    bfs_supersteps = int(stats["dia"].sum())
+    checksum = int(stats["dist_sum"].sum())
+
+    met = SuperstepMetrics(name="pr")
+    t0 = time.monotonic()
+    pagerank(g, iterations=pr_iters, metrics=met).count()
+    pr_s = time.monotonic() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "num_nodes": g.num_nodes,
+                "num_edges": g.num_edges,
+                "setup_s": round(setup_s, 2),
+                "bfs_seeds": n_seeds,
+                "bfs_supersteps": bfs_supersteps,
+                "bfs_wall_s": round(bfs_s, 2),
+                "bfs_supersteps_per_min": round(60.0 * bfs_supersteps / bfs_s, 2),
+                "bfs_dist_checksum": checksum,
+                "pr_iters": pr_iters,
+                "pr_wall_s": round(pr_s, 2),
+                "pr_supersteps_per_min": round(60.0 * pr_iters / pr_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
