@@ -494,13 +494,13 @@ def _pagerank_sql() -> str:
     for i in range(1, _PR_ITERS + 1):
         p = i - 1
         parts.append(
-            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS m FROM r{p} "
-            f"WHERE v NOT IN (SELECT v FROM og))"
-        )
-        parts.append(
             f"c{i} AS MATERIALIZED (SELECT e.dst AS v, sum(r.rank * (1.0 / o.od)) AS c "
             f"FROM r{p} r JOIN eg_edges e ON e.src = r.v JOIN og o ON o.v = e.src "
             f"GROUP BY e.dst)"
+        )
+        # dangling mass = 1 − Σ contrib — mirrors operators/pagerank.py exactly
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT 1.0 - coalesce(sum(c), 0.0) AS m FROM c{i})"
         )
         parts.append(
             f"r{i} AS MATERIALIZED (SELECT t.v, (1.0 - 0.85) / (SELECT n FROM nn) "

@@ -69,21 +69,19 @@ def pagerank(
 
     for it in range(start_iter + 1, iterations + 1):
         t0 = time.monotonic()
-        # dangling mass: total rank sitting on vertices with no out-edges
-        dangling = (
-            ranks.join(
-                graph.edges.select(F.col("src").alias("v")).distinct(), "v", "left_anti"
-            )
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
         contrib = (
             ranks.join(norm_edges, ranks.v == F.col("_esrc"))
             .select(F.col("_edst").alias("v"), (F.col("rank") * F.col("_w")).alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
+            .persist()
         )
+        # dangling mass = 1 − Σ contrib: every non-dangling vertex distributes
+        # its rank fully (Σ_v contrib(v) = Σ_{u: outdeg>0} rank(u)) and Σ rank
+        # is 1 by construction — saves the anti-join + extra ranks scan per
+        # superstep; the SQL oracle mirrors this expression exactly.
+        contrib_total = contrib.agg(F.sum("c")).collect()[0][0] or 0.0
+        dangling = 1.0 - contrib_total
         base = (1.0 - damping) / n + damping * dangling / n
         new_ranks = (
             graph.vertices()
@@ -103,6 +101,7 @@ def pagerank(
         new_ranks = ckpt.cut(new_ranks, it, rows=n, wall_s=time.monotonic() - t0)
         if ckpt.dir is None:
             new_ranks = new_ranks.localCheckpoint(eager=True)
+        contrib.unpersist()
         ranks = new_ranks
         met.record(it, n, time.monotonic() - t0, l1_delta=delta)
         if tol is not None and delta is not None and delta < tol:

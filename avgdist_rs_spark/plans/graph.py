@@ -193,8 +193,13 @@ class GraphFrame:
 
     # ------------------------------------------------------------- derived views
     def symmetric_edges(self) -> DataFrame:
-        """Undirected view: edges ∪ transpose, distinct (for CC / LP / triangles)."""
-        return self.edges.union(self.edges_t).distinct()
+        """Undirected view: edges ∪ transpose, distinct (for CC / LP / triangles).
+
+        Re-partitioned on ``src`` so superstep joins (labels ⋈ sym on src)
+        reuse the edge side's partitioning — only the small label vector
+        shuffles per superstep, never the edge table."""
+        p = _num_partitions_for(self.spark)
+        return self.edges.union(self.edges_t).distinct().repartition(p, "src")
 
     def out_degrees(self) -> DataFrame:
         """(v, out_degree) for vertices with ≥1 outgoing edge."""
