@@ -263,8 +263,11 @@ def bfs_frontier(
 
 def per_seed_stats(visited: DataFrame) -> DataFrame:
     """Reference per-seed accumulators (A1): (seed, dia, dist_sum, reached) —
-    level-0 self rows excluded, matching ``src/lib.rs:34-39``."""
-    return (
+    level-0 self rows excluded, matching ``src/lib.rs:34-39``.
+
+    Seeds that reach nothing still emit a (seed, 0, 0, 0) row (the reference
+    returns zeroed accumulators for them; bfs_csr does the same)."""
+    agg = (
         visited.filter(F.col("dist") > 0)
         .groupBy("seed")
         .agg(
@@ -272,4 +275,8 @@ def per_seed_stats(visited: DataFrame) -> DataFrame:
             F.sum("dist").alias("dist_sum"),
             F.count("*").alias("reached"),
         )
+    )
+    all_seeds = visited.filter(F.col("dist") == 0).select("seed").distinct()
+    return all_seeds.join(agg, "seed", "left").fillna(
+        0, subset=["dia", "dist_sum", "reached"]
     )
