@@ -226,6 +226,30 @@ def _q_bfs_from_seed(spark, sf):
     )
 
 
+def _q_simple_paths(spark, sf):
+    """K8: all simple paths from event 0 to its own event_type hub."""
+    from avgdist_rs_spark.operators.simpath import simple_paths_edges
+
+    ev = _events(spark, sf)
+    t0 = ev.where(F.col("event_id") == 0).collect()[0]["event_type"]
+    edges = event_edges(ev)
+    p = simple_paths_edges(spark, edges, "E:0", f"H:{t0}", max_len=16)
+    return p.select(
+        F.array_join("path", "->").alias("path_str"), F.col("hops").cast("long")
+    )
+
+
+def _q_harmonic_histogram(spark, sf):
+    """A8 + O1: bucketed centrality histogram (bucket = floor(c·1e9))."""
+    from avgdist_rs_spark.operators.centrality import centrality_histogram, harmonic_centrality
+
+    g = _graph(spark, sf)
+    h = harmonic_centrality(g, exact=True)
+    return centrality_histogram(h, "harmonic").select(
+        F.col("bucket").cast("long"), F.col("cnt").cast("long")
+    )
+
+
 def _q_reach_counts(spark, sf):
     from avgdist_rs_spark.operators.bfs import bfs_csr
 
@@ -406,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_closeness": _q_closeness,
         "eg_bfs_from_seed": _q_bfs_from_seed,
         "eg_reach_counts": _q_reach_counts,
+        "eg_simple_paths": _q_simple_paths,
+        "eg_harmonic_histogram": _q_harmonic_histogram,
         "eg_avgdist_sampled": _q_avgdist_sampled,
         "doc_dedup_exact": _q_dedup_exact,
         "doc_jaccard_pairs": _q_jaccard_pairs,
@@ -737,6 +763,25 @@ def oracle_sql() -> dict[str, str]:
         "eg_reach_counts": (
             f"WITH RECURSIVE {_EG}, {_MIND} "
             "SELECT w AS v, count(*)::BIGINT AS n_reaching FROM mind GROUP BY w"
+        ),
+        "eg_simple_paths": (
+            f"WITH RECURSIVE {_EG}, "
+            "tgt AS MATERIALIZED (SELECT 'H:' || event_type AS t FROM events WHERE event_id = 0), "
+            "p(tail, path) AS ("
+            "  SELECT 'E:0', ['E:0'] "
+            "  UNION ALL "
+            "  SELECT e.dst, p.path || [e.dst] FROM p JOIN eg_edges e ON e.src = p.tail "
+            "  WHERE NOT list_contains(p.path, e.dst) AND p.tail <> (SELECT t FROM tgt) "
+            "    AND len(p.path) <= 16) "
+            "SELECT array_to_string(path, '->') AS path_str, "
+            "(len(path) - 1)::BIGINT AS hops FROM p WHERE tail = (SELECT t FROM tgt)"
+        ),
+        "eg_harmonic_histogram": (
+            f"WITH RECURSIVE {_EG}, {_NN}, {_MIND}, "
+            "h AS (SELECT w AS v, sum(1.0 / (1.0 + d)) / (SELECT n FROM nn) AS harmonic "
+            "FROM mind GROUP BY w) "
+            "SELECT floor(harmonic * 1000000000.0)::BIGINT AS bucket, "
+            "count(*)::BIGINT AS cnt FROM h GROUP BY 1"
         ),
         "doc_dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS dup_count "
