@@ -60,7 +60,77 @@ CAPTURE_SCHEMA = StructType(
 )
 
 
-# --------------------------------------------------------------------------- numpy kernel
+# --------------------------------------------------------------------------- numpy kernels
+def _msbfs_batch(
+    offsets: np.ndarray, targets: np.ndarray, seeds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bit-parallel multi-source BFS (MS-BFS): up to 64 seeds per pass.
+
+    Each vertex carries a uint64 mask of which seeds have reached it; one
+    level-synchronous pass expands ALL seeds' frontiers off a single edge
+    gather. Per-destination OR-aggregation is sort + bitwise_or.reduceat
+    (vectorized), per-level per-seed stats come from np.unpackbits column sums.
+
+    Measured trade (kept opt-in, default OFF): MS-BFS only amortizes gathers
+    when seeds' frontiers overlap at the SAME level. On hub-centric transcript
+    graphs seeds reach the same dense core at *staggered phases* (distance to
+    the first hub varies), so core vertices reactivate with new bits for many
+    consecutive levels and total edge-gather volume ends up equal to the
+    per-seed kernel's (measured 0.6–0.7× — slower, from the sort overhead).
+    Wins on level-aligned workloads (e.g. all seeds in one tight community).
+
+    Returns (dias, dist_sums, reached_counts) aligned with ``seeds`` (≤ 64).
+    """
+    k = len(seeds)
+    assert k <= 64
+    n = len(offsets) - 1
+    bits = np.uint64(1) << np.arange(k, dtype=np.uint64)
+    seen = np.zeros(n, dtype=np.uint64)
+    front = np.zeros(n, dtype=np.uint64)
+    np.bitwise_or.at(front, seeds, bits)
+    np.bitwise_or.at(seen, seeds, bits)
+    dias = np.zeros(k, dtype=np.int64)
+    sums = np.zeros(k, dtype=np.int64)
+    cnts = np.zeros(k, dtype=np.int64)
+    active = np.unique(seeds)
+    level = 0
+    while active.size:
+        starts = offsets[active]
+        counts = offsets[active + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            break
+        idx = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        idx += np.arange(total, dtype=np.int64)
+        dsts = targets[idx]
+        srcbits = np.repeat(front[active], counts)
+        order = np.argsort(dsts, kind="stable")
+        d_s = dsts[order]
+        b_s = srcbits[order]
+        bound = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        uniq = d_s[bound].astype(np.int64)
+        orred = np.bitwise_or.reduceat(b_s, bound)
+        new = orred & ~seen[uniq]
+        nz = new != np.uint64(0)
+        uniq, new = uniq[nz], new[nz]
+        front[active] = np.uint64(0)
+        if uniq.size == 0:
+            break
+        level += 1
+        seen[uniq] |= new
+        front[uniq] = new
+        # per-seed newly-reached counts this level: unpack the 64-bit masks
+        bitmat = np.unpackbits(
+            new.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        per = bitmat.sum(axis=0, dtype=np.int64)[:k]
+        cnts += per
+        sums += level * per
+        dias[per > 0] = level
+        active = uniq
+    return dias, sums, cnts
+
+
 def _bfs_levels(offsets: np.ndarray, targets: np.ndarray, visited: np.ndarray,
                 stamp: int, seed: int) -> Iterator[tuple[int, np.ndarray]]:
     """Yield (level, newly_reached_vertices) for one BFS; `visited` is an int32
@@ -107,12 +177,17 @@ def bfs_csr(
     seeds: np.ndarray,
     transposed: bool = False,
     capture: bool = False,
+    ms: bool | None = None,
 ) -> DataFrame:
     """Seed-parallel BFS over broadcast CSR adjacency.
 
     Returns per-seed aggregates ``(seed, dia, dist_sum, reached)`` or, with
     ``capture=True`` (reference K2), all ``(seed, v, dist)`` pairs with dist ≥ 1.
+
+    ``ms`` opts into the bit-parallel multi-source kernel (64 seeds per pass,
+    see ``_msbfs_batch`` for why it is NOT the default here).
     """
+    use_ms = bool(ms) and not capture
     if graph.num_edges > DEFAULT_CSR_MAX_EDGES:
         raise ValueError(
             f"graph has {graph.num_edges} edges > CSR fast-path cap "
@@ -157,6 +232,18 @@ def bfs_csr(
                             "dist": np.concatenate(out_d),
                         }
                     )
+            elif use_ms:
+                outs = []
+                for lo in range(0, seeds_arr.size, 64):
+                    chunk = seeds_arr[lo : lo + 64]
+                    dias, sums, cnts = _msbfs_batch(offsets, targets, chunk)
+                    outs.append(
+                        pd.DataFrame(
+                            {"seed": chunk, "dia": dias, "dist_sum": sums, "reached": cnts}
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
             else:
                 dias = np.zeros(seeds_arr.size, dtype=np.int64)
                 sums = np.zeros(seeds_arr.size, dtype=np.int64)

@@ -158,3 +158,22 @@ def test_main_estimator_dummy_sampled(spark):
     want = sum(means) / len(means)
     assert f["mean"] == pytest.approx(want, abs=1e-12)
     g.unpersist()
+
+
+def test_msbfs_equals_per_seed_kernel(spark):
+    """Bit-parallel MS-BFS must agree exactly with the per-seed kernel."""
+    import numpy as np
+
+    from avgdist_rs_spark.operators import bfs as B
+    from avgdist_rs_spark.sources.fixtures import barabasi_graph
+
+    g = barabasi_graph(spark, n=300, m=3, seed=11)
+    rng = np.random.default_rng(5)
+    seeds = rng.integers(0, g.num_nodes, size=150)  # includes duplicates
+    a = B.bfs_csr(g, seeds, ms=False).toPandas().sort_values("seed").reset_index(drop=True)
+    b = B.bfs_csr(g, seeds, ms=True).toPandas().sort_values("seed").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.groupby("seed").sum().sort_index(), b.groupby("seed").sum().sort_index()
+    )
