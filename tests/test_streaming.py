@@ -1,0 +1,73 @@
+"""Structured Streaming path: windowed rollups + stateful sessionization
+match their batch equivalents exactly."""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from avgdist_rs_spark.operators.sessions import sessionize
+from avgdist_rs_spark.streaming.events_stream import (
+    run_available_now,
+    sessionize_stream,
+    stream_events,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Two parquet files written in time order → two micro-batches."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    mid = ev.approxQuantile("event_id", [0.5], 0)[0]
+    early = ev.where(F.col("ts") < "2024-01-05")
+    late = ev.where(F.col("ts") >= "2024-01-05")
+    early.coalesce(1).write.parquet(os.path.join(d, "batch=0"))
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    late.coalesce(1).write.parquet(os.path.join(d, "batch=1"))
+    return d
+
+
+def test_windowed_counts_match_batch(spark, stream_dir):
+    s = stream_events(spark, f"{stream_dir}/batch=*")
+    run_available_now(windowed_event_counts(s), "win_counts", "complete")
+    got = spark.table("win_counts").toPandas()
+    ev = spark.read.parquet(f"{stream_dir}/batch=*")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+        .toPandas()
+    )
+    k = ["window_start", "event_type"]
+    g = got.sort_values(k).reset_index(drop=True)
+    w = want.sort_values(k).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)
+
+
+def test_stateful_sessionize_matches_batch(spark, stream_dir):
+    s = stream_events(spark, f"{stream_dir}/batch=*", max_files_per_trigger=1)
+    run_available_now(sessionize_stream(s), "stream_sessions", "append")
+    got = (
+        spark.table("stream_sessions")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()[["user_id", "session_idx", "turn_idx"]]
+    )
+    ev = spark.read.parquet(f"{stream_dir}/batch=*")
+    want = (
+        sessionize(ev)
+        .select("event_id", "user_id", "session_idx", "turn_idx")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()[["user_id", "session_idx", "turn_idx"]]
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
