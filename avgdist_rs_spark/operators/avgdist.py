@@ -302,24 +302,58 @@ def avgdist_main(
     run = EstimatorRun()
     averages_dist: list[float] = []
     averages_dia: list[float] = []
+
+    # Fused fast path for dummy/truth sampling: batches are independent RNG
+    # draws, so presample every batch, run ONE multi-source BFS job over the
+    # distinct seeds, and reassemble per-batch aggregates from the value→stats
+    # map (BFS is deterministic per seed). Identical numbers to the per-batch
+    # loop, minus per-batch Spark job latency — the reference's batch loop is
+    # a *reporting* cadence, not a data dependency (``src/main.rs:151-244``).
+    stats_by_seed: dict[int, tuple[int, int, int]] | None = None
+    presampled: list[np.ndarray] = []
+    if truth or dummy:
+        remaining_pre = k
+        nb = 0
+        while remaining_pre > 0:
+            cur = remaining_pre if truth else min(slot, remaining_pre)
+            presampled.append(
+                np.arange(n, dtype=np.int64) if truth else sample_uniform(n, cur, rng)
+            )
+            remaining_pre -= cur
+            nb += 1
+            if max_batches is not None and nb >= max_batches:
+                break
+        uniq = np.unique(np.concatenate(presampled)) if presampled else np.empty(0, np.int64)
+        pdf = _seed_stats(graph, uniq, impl).toPandas()
+        stats_by_seed = {
+            int(r.seed): (int(r.dia), int(r.dist_sum), int(r.reached))
+            for r in pdf.itertuples()
+        }
+
     remaining = k
     iteration = 1
     while remaining > 0:
-        cur = min(slot, remaining)
         if truth:
             cur = remaining
-            sampled = np.arange(n, dtype=np.int64)
+            sampled = presampled[iteration - 1]
         elif dummy:
-            sampled = sample_uniform(n, cur, rng)
+            cur = min(slot, remaining)
+            sampled = presampled[iteration - 1]
         else:
+            cur = min(slot, remaining)
             sampled = sample_coverage_weighted(graph, cur, rng, impl=impl)
-        stats = _seed_stats(graph, sampled, impl)
-        row = stats.agg(
-            F.max("dia").alias("dia"),
-            F.sum("dist_sum").alias("s"),
-            F.sum("reached").alias("c"),
-        ).collect()[0]
-        dia, s, c = int(row["dia"] or 0), int(row["s"] or 0), int(row["c"] or 0)
+        if stats_by_seed is not None:
+            dia = max((stats_by_seed[int(x)][0] for x in sampled), default=0)
+            s = sum(stats_by_seed[int(x)][1] for x in sampled)
+            c = sum(stats_by_seed[int(x)][2] for x in sampled)
+        else:
+            stats = _seed_stats(graph, sampled, impl)
+            row = stats.agg(
+                F.max("dia").alias("dia"),
+                F.sum("dist_sum").alias("s"),
+                F.sum("reached").alias("c"),
+            ).collect()[0]
+            dia, s, c = int(row["dia"] or 0), int(row["s"] or 0), int(row["c"] or 0)
         if c > 0:
             averages_dist.append(s / (c * (n - 1)))
             averages_dia.append(float(dia))

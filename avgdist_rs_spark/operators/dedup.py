@@ -167,8 +167,30 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    verified = jaccard_pairs(docs, k, threshold, id_col, text_col)
-    return cand.join(verified, ["a", "b"]).select("a", "b", "jaccard")
+    # exact-Jaccard verification restricted to the candidate pairs — the whole
+    # point of LSH is to never touch the quadratic all-pairs shingle join
+    sh = word_shingles(docs, k, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("id").alias("a"), "shingle")
+    sb = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # ------------------------------------------------------------------- simhash
