@@ -370,6 +370,20 @@ def _q_lsh_ann(spark, sf):
     )
 
 
+def _q_ivf_ann(spark, sf):
+    """IVF ANN (KMeans routing) — non-SQL (ML model), rows-only check."""
+    from avgdist_rs_spark.operators.similarity import ivf_ann
+
+    return ivf_ann(
+        _emb(spark, sf), k=_TOPK, num_queries=_NQ, num_centroids=8, nprobe=3, seed=42
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        F.col("rank").cast("long"),
+        "sim",
+    )
+
+
 def _q_session_stats(spark, sf):
     from avgdist_rs_spark.operators.sessions import session_stats
 
@@ -445,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "emb_cosine_topk": _q_cosine_topk,
         "emb_lsh_ann": _q_lsh_ann,
+        "emb_ivf_ann": _q_ivf_ann,
         "events_session_stats": _q_session_stats,
         "media_metadata": _q_media_metadata,
         "media_features": _q_media_features,
@@ -855,7 +870,8 @@ def oracle_sql() -> dict[str, str]:
             "min(octet_length(encode(text)))::BIGINT AS min_bytes, "
             "max(octet_length(encode(text)))::BIGINT AS max_bytes FROM documents"
         ),
-        # eg_avgdist_sampled, media_features: non-SQL (seeded RNG / sha256 UDF)
+        # eg_avgdist_sampled, media_features, emb_ivf_ann: non-SQL (seeded RNG /
+        # sha256 UDF / ML model)
         # → rows-only check by design.
     }
     return sql

@@ -180,3 +180,33 @@ def test_decode_image_stub_raises(docs):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"not-an-image")
+
+
+def test_ivf_ann_recall_and_shape(spark):
+    from avgdist_rs_spark.operators.similarity import ivf_ann
+
+    rng = np.random.default_rng(7)
+    # clustered corpus: 4 well-separated blobs -> IVF routing is meaningful
+    centers = rng.standard_normal((4, 8)) * 10
+    vecs = np.vstack([centers[i % 4] + rng.standard_normal(8) for i in range(200)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = cosine_topk(df, k=5, num_queries=4).toPandas()
+    approx = ivf_ann(df, k=5, num_queries=4, num_centroids=8, nprobe=3, seed=1).toPandas()
+    assert set(approx.columns) == {"query_id", "neighbor_id", "rank", "sim"}
+    # on blob data with nprobe=3 of 8 clusters, recall@5 should be high
+    recall = 0.0
+    for q in range(4):
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recall += len(e & a) / len(e)
+    assert recall / 4 >= 0.8
+    # full probe recovers exact brute force
+    full = ivf_ann(df, k=5, num_queries=4, num_centroids=8, nprobe=8, seed=1).toPandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
