@@ -200,10 +200,11 @@ def sample_pair_rejection(
         need = k - have
         if need <= 0:
             break
-        # geometric batch growth: sparse graphs can have acceptance rates <1%
-        # (ER-1k: ~0.47%); doubling keeps total BFS work within ~2× optimal
-        # while staying deterministic for oracle parity.
-        batch = min(max(int(math.ceil(need * oversample)) << rnd, 16), 1_000_000)
+        # geometric batch growth (×4 per round): low-acceptance graphs (chains
+        # + sink hubs can accept <0.1% of pairs) converge in a few rounds while
+        # total BFS work stays within ~2× optimal; the schedule is
+        # deterministic so the local-Python oracle replays it exactly.
+        batch = min(max(int(math.ceil(need * oversample)) << (2 * rnd), 16), 2_000_000)
         v = rng.integers(0, n, size=batch, dtype=np.int64)
         w = rng.integers(0, n, size=batch, dtype=np.int64)
         ok = v != w
@@ -211,16 +212,20 @@ def sample_pair_rejection(
         if v.size == 0:
             continue
         uniq = np.unique(v)
-        stats = bfs_csr(graph, uniq, capture=False) if _use_csr(graph, impl) else None
-        if stats is not None:
-            cap = bfs_csr(graph, uniq, capture=True)
+        # ONE BFS job per round: the capture holds everything — per-seed stats
+        # are an aggregate over it, and zero-reach seeds can never be accepted
+        if _use_csr(graph, impl):
+            cap = bfs_csr(graph, uniq, capture=True).localCheckpoint(eager=True)
         else:
             seeds_df = graph.spark.createDataFrame(
                 pd.DataFrame({"seed": uniq}), schema="seed long"
             )
-            visited = bfs_frontier(graph, seeds_df)
-            cap = visited.filter("dist > 0")
-            stats = _seed_stats(graph, uniq, impl)
+            cap = bfs_frontier(graph, seeds_df).filter("dist > 0")
+        stats = cap.groupBy("seed").agg(
+            F.max("dist").alias("dia"),
+            F.sum("dist").alias("dist_sum"),
+            F.count("*").alias("reached"),
+        )
         pairs = graph.spark.createDataFrame(
             pd.DataFrame({"seed": v, "w": w, "ord": np.arange(v.size, dtype=np.int64)}),
             schema="seed long, w long, ord long",

@@ -98,7 +98,7 @@ def test_unipairs_sampled_matches_oracle(spark):
     rnd = 0
     while len(accepted) < k:
         need = k - len(accepted)
-        batch = min(max(int(math.ceil(need * 4.0)) << rnd, 16), 1_000_000)
+        batch = min(max(int(math.ceil(need * 4.0)) << (2 * rnd), 16), 2_000_000)
         rnd += 1
         v = rng2.integers(0, 1000, size=batch, dtype=np.int64)
         w = rng2.integers(0, 1000, size=batch, dtype=np.int64)
