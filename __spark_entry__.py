@@ -78,7 +78,7 @@ _CACHE: dict = {}
 def _graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
     key = (id(spark), sf_dir)
     if key not in _CACHE:
-        _CACHE[key] = GraphFrame.from_any_edges(event_edges(_events(spark, sf_dir)))
+        _CACHE[key] = GraphFrame.from_any_edges(event_edges(_events(spark, sf_dir)), dedup=False)
     return _CACHE[key]
 
 

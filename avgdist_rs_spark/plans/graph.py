@@ -160,7 +160,7 @@ class GraphFrame:
         return nodes
 
     @staticmethod
-    def from_any_edges(edges: DataFrame) -> "GraphFrame":
+    def from_any_edges(edges: DataFrame, dedup: bool = True) -> "GraphFrame":
         """Build from arbitrarily-typed/keyed edges by densifying vertex ids.
 
         Analog of ``webgraph from arcs`` hashing string labels to dense ids
@@ -187,7 +187,9 @@ class GraphFrame:
             .withColumnRenamed("id", "dst")
             .select("src", "dst")
         )
-        g = GraphFrame.from_edges(e, num_nodes=n)
+        # pass dedup through: derivations that already emit distinct edges
+        # (e.g. transcript/event edge builders) skip a full edge shuffle here
+        g = GraphFrame.from_edges(e, num_nodes=n, dedup=dedup)
         g.nodes = nodes
         return g
 

@@ -197,7 +197,9 @@ def transcript_graph(transcripts: DataFrame, tool_responses: bool = False) -> Gr
     The dense-id mapping lands in ``graph.nodes`` — the analog of the
     reference's ``*.nodes`` side files (``data/github/github.nodes``).
     """
-    return GraphFrame.from_any_edges(transcript_edges(transcripts, tool_responses))
+    # transcript_edges emits distinct pairs by construction (lead is unique per
+    # (conv_id, turn_idx); tool edges unique per turn) -> skip the dedup shuffle
+    return GraphFrame.from_any_edges(transcript_edges(transcripts, tool_responses), dedup=False)
 
 
 def write_transcripts(transcripts: DataFrame, path: str) -> None:
