@@ -55,20 +55,27 @@ def _use_csr(graph: GraphFrame, impl: str) -> bool:
 
 def _seed_stats(graph: GraphFrame, seeds: np.ndarray, impl: str,
                 transposed: bool = False) -> DataFrame:
-    """(seed, dia, dist_sum, reached) for each seed, level-0 excluded."""
+    """(seed, dia, dist_sum, reached) — ONE ROW PER SEED OCCURRENCE.
+
+    Samplers draw with replacement (coverage weighting deliberately repeats
+    hubs), and the reference runs one BFS per draw, counting multiplicity.
+    BFS is deterministic per seed, so: run each distinct seed once, then
+    expand back to occurrences with a join — identical rows for duplicates,
+    identical semantics across the CSR and frontier strategies.
+    """
+    seeds = np.asarray(seeds, dtype=np.int64)
+    uniq = np.unique(seeds)
     if _use_csr(graph, impl):
-        return bfs_csr(graph, seeds, transposed=transposed, capture=False)
-    seeds_df = graph.spark.createDataFrame(
-        pd.DataFrame({"seed": np.asarray(seeds, dtype=np.int64)}), schema="seed long"
+        stats = bfs_csr(graph, uniq, transposed=transposed, capture=False)
+    else:
+        seeds_df = graph.spark.createDataFrame(
+            pd.DataFrame({"seed": uniq}), schema="seed long"
+        )
+        stats = per_seed_stats(bfs_frontier(graph, seeds_df, transposed=transposed))
+    occ = graph.spark.createDataFrame(
+        pd.DataFrame({"seed": seeds}), schema="seed long"
     )
-    visited = bfs_frontier(graph, seeds_df, transposed=transposed)
-    # seeds that reach nothing still need a row (dia=0,sum=0,reached=0)
-    stats = per_seed_stats(visited)
-    all_seeds = seeds_df.dropDuplicates(["seed"])
-    return (
-        all_seeds.join(stats, "seed", "left")
-        .fillna(0, subset=["dia", "dist_sum", "reached"])
-    )
+    return occ.join(stats, "seed")
 
 
 # --------------------------------------------------------------------------- exact mode
@@ -114,16 +121,24 @@ def sample_coverage_weighted(
     """
     n = graph.num_nodes
     probes = sample_uniform(n, k, rng)
+    # run each DISTINCT probe's backward BFS once, weight coverage by probe
+    # multiplicity (the reference runs one BFS per draw — duplicates count
+    # twice; BFS is deterministic so weighting is exactly equivalent)
+    uniq, mult = np.unique(probes, return_counts=True)
+    wdf = graph.spark.createDataFrame(
+        pd.DataFrame({"seed": uniq, "w": mult.astype(np.int64)}), schema="seed long, w long"
+    )
     if _use_csr(graph, impl):
-        cap = bfs_csr(graph, probes, transposed=True, capture=True).select("v")
+        cap = bfs_csr(graph, uniq, transposed=True, capture=True).select("seed", "v")
     else:
         seeds_df = graph.spark.createDataFrame(
-            pd.DataFrame({"seed": probes}), schema="seed long"
+            pd.DataFrame({"seed": uniq}), schema="seed long"
         )
-        cap = bfs_frontier(graph, seeds_df, transposed=True).filter("dist > 0").select("v")
+        cap = bfs_frontier(graph, seeds_df, transposed=True).filter("dist > 0").select("seed", "v")
+    covered = cap.join(wdf, "seed").select("v", "w")
     # the probe seed itself is covered too (seen includes start, src/main.rs:25,82)
-    probes_df = graph.spark.createDataFrame(pd.DataFrame({"v": probes}), schema="v long")
-    counts = cap.union(probes_df).groupBy("v").agg(F.count("*").alias("c"))
+    probes_w = wdf.select(F.col("seed").alias("v"), "w")
+    counts = covered.union(probes_w).groupBy("v").agg(F.sum("w").alias("c"))
 
     p = int(graph.spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parted = (
@@ -149,15 +164,22 @@ def sample_coverage_weighted(
     def pick(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payload = bc.value
         offs, drs = payload["offsets"], payload["draws"]
+        # one task == one partition, but Arrow hands it over as MULTIPLE
+        # batches: the running offset must carry across them or later batches
+        # would restart the cumulative sum at the partition base (overlapping
+        # ranges → wrong/silently-dropped draws on >maxRecordsPerBatch
+        # partitions)
+        off: int | None = None
         for pdf in batches:
             if pdf.empty:
                 continue
-            pid = int(pdf["pid"].iloc[0])
-            off = offs[pid]
+            if off is None:
+                off = int(offs[int(pdf["pid"].iloc[0])])
             local_cum = off + pdf["c"].to_numpy(dtype=np.int64).cumsum()
             total = int(local_cum[-1])
-            # draws landing in (off, total] belong to this partition
+            # draws landing in (off, total] belong to this batch
             mask = (drs > off) & (drs <= total)
+            off = total
             if not mask.any():
                 continue
             sel = np.nonzero(mask)[0]

@@ -291,8 +291,10 @@ def bfs_frontier(
         from ..functions.salting import salt_edges
         from .degrees import hubs as detect_hubs
 
+        # skew key is the join-side src: original out-degree forward, original
+        # in-degree when walking the transpose (hubs() takes 'out'/'in')
         hdf = hub_df if hub_df is not None else detect_hubs(
-            graph, direction="dst" if transposed else "src"
+            graph, direction="in" if transposed else "out"
         ).select("v")
         hdf = hdf.persist()
         hdf.count()

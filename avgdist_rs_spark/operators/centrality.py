@@ -40,15 +40,30 @@ from .bfs import DEFAULT_CSR_MAX_EDGES, bfs_csr, bfs_frontier
 
 
 def _capture(graph: GraphFrame, seeds: np.ndarray, transposed: bool, impl: str) -> DataFrame:
-    """(seed, v, dist≥1) reachability capture for a seed batch."""
-    if impl == "csr" or (impl == "auto" and graph.num_edges <= DEFAULT_CSR_MAX_EDGES):
-        return bfs_csr(graph, seeds, transposed=transposed, capture=True)
+    """(seed, v, dist≥1, w) reachability capture; ``w`` = seed multiplicity.
+
+    The reference runs one BFS per draw, so a seed sampled twice contributes
+    twice to every per-vertex accumulator. BFS is deterministic — run each
+    distinct seed once and carry the multiplicity as a weight column
+    (identical semantics on both BFS strategies).
+    """
     import pandas as pd
 
-    seeds_df = graph.spark.createDataFrame(
-        pd.DataFrame({"seed": np.asarray(seeds, dtype=np.int64)}), schema="seed long"
+    from .avgdist import _use_csr
+
+    seeds = np.asarray(seeds, dtype=np.int64)
+    uniq, mult = np.unique(seeds, return_counts=True)
+    if _use_csr(graph, impl):
+        cap = bfs_csr(graph, uniq, transposed=transposed, capture=True)
+    else:
+        seeds_df = graph.spark.createDataFrame(
+            pd.DataFrame({"seed": uniq}), schema="seed long"
+        )
+        cap = bfs_frontier(graph, seeds_df, transposed=transposed).filter("dist > 0")
+    wdf = graph.spark.createDataFrame(
+        pd.DataFrame({"seed": uniq, "w": mult.astype(np.int64)}), schema="seed long, w long"
     )
-    return bfs_frontier(graph, seeds_df, transposed=transposed).filter("dist > 0")
+    return cap.join(F.broadcast(wdf), "seed")
 
 
 def harmonic_centrality(
@@ -69,8 +84,10 @@ def harmonic_centrality(
         seeds = sample_uniform(n, sample_size, np.random.default_rng(seed))
     cap = _capture(graph, seeds, transposed, impl)
     return cap.groupBy("v").agg(
-        (F.sum(1.0 / (1.0 + F.col("dist"))) / F.lit(float(sample_size))).alias("harmonic"),
-        F.count("*").alias("coverage"),
+        (F.sum(F.col("w") / (1.0 + F.col("dist"))) / F.lit(float(sample_size))).alias(
+            "harmonic"
+        ),
+        F.sum("w").alias("coverage"),
     )
 
 
@@ -103,7 +120,7 @@ def closeness_centrality(
         seeds = np.concatenate(parts)
     cap = _capture(graph, seeds, transposed, impl)
     agg = cap.groupBy("v").agg(
-        F.sum("dist").alias("dist_sum"), F.count("*").alias("reach")
+        F.sum(F.col("dist") * F.col("w")).alias("dist_sum"), F.sum("w").alias("reach")
     )
     agg = agg.filter((F.col("reach") > 0) & (F.col("dist_sum") > 0))
     if lin:

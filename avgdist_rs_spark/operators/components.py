@@ -67,7 +67,8 @@ def connected_components(
             )
         )
         new_labels = ckpt.cut(new_labels, it, wall_s=time.monotonic() - t0)
-        if ckpt.dir is None:
+        if ckpt.dir is None and it % ckpt.every != 0:
+            # cut() was a no-op this superstep — still truncate lineage
             new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("a")

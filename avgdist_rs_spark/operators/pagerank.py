@@ -99,7 +99,8 @@ def pagerank(
         else:
             delta = None
         new_ranks = ckpt.cut(new_ranks, it, rows=n, wall_s=time.monotonic() - t0)
-        if ckpt.dir is None:
+        if ckpt.dir is None and it % ckpt.every != 0:
+            # cut() was a no-op this superstep — still truncate lineage
             new_ranks = new_ranks.localCheckpoint(eager=True)
         contrib.unpersist()
         ranks = new_ranks

@@ -177,3 +177,32 @@ def test_msbfs_equals_per_seed_kernel(spark):
     pd.testing.assert_frame_equal(
         a.groupby("seed").sum().sort_index(), b.groupby("seed").sum().sort_index()
     )
+
+
+def test_duplicate_seeds_count_with_multiplicity_on_both_impls(spark):
+    """A seed drawn twice contributes twice (reference: one BFS per draw) —
+    and the CSR and frontier strategies must agree on it."""
+    g = FX.barabasi_graph(spark, n=120, m=2, seed=3)
+    dup = np.array([5, 5, 9, 5, 9, 40], dtype=np.int64)
+    a = A._seed_stats(g, dup, impl="csr").toPandas()
+    b = A._seed_stats(g, dup, impl="frontier").toPandas()
+    assert len(a) == len(dup) and len(b) == len(dup)
+    key = ["seed", "dia", "dist_sum", "reached"]
+    pd_a = a[key].sort_values(key).reset_index(drop=True)
+    pd_b = b[key].sort_values(key).reset_index(drop=True)
+    assert pd_a.equals(pd_b)
+    assert (pd_a["seed"] == 5).sum() == 3 and (pd_a["seed"] == 9).sum() == 2
+    g.unpersist()
+
+
+def test_harmonic_weighted_duplicates(spark):
+    """harmonic with a duplicated seed == accumulating that seed's BFS twice."""
+    from avgdist_rs_spark.operators.centrality import _capture
+
+    g = FX.cycle3_graph(spark)
+    cap = _capture(g, np.array([0, 0, 1], dtype=np.int64), transposed=False, impl="csr")
+    rows = cap.toPandas()
+    # seed 0 appears once per reached vertex with w=2; seed 1 with w=1
+    assert set(rows[rows.seed == 0]["w"]) == {2}
+    assert set(rows[rows.seed == 1]["w"]) == {1}
+    g.unpersist()
