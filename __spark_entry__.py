@@ -215,6 +215,15 @@ def _q_closeness(spark, sf):
     return _orig(g, c, ["v"]).select("v", F.round("closeness", 12).alias("closeness"))
 
 
+def _q_lin_closeness(spark, sf):
+    """A7 Lin variant: reach^2 / (dist_sum * n) (reference closeness.rs:221)."""
+    from avgdist_rs_spark.operators.centrality import closeness_centrality
+
+    g = _graph(spark, sf)
+    c = closeness_centrality(g, exact=True, lin=True)
+    return _orig(g, c, ["v"]).select("v", F.round("closeness", 9).alias("lin"))
+
+
 def _q_bfs_from_seed(spark, sf):
     from avgdist_rs_spark.operators.bfs import bfs_csr
 
@@ -442,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_avgdist_exact": _q_avgdist_exact,
         "eg_harmonic": _q_harmonic,
         "eg_closeness": _q_closeness,
+        "eg_lin_closeness": _q_lin_closeness,
         "eg_bfs_from_seed": _q_bfs_from_seed,
         "eg_reach_counts": _q_reach_counts,
         "eg_simple_paths": _q_simple_paths,
@@ -769,6 +779,12 @@ def oracle_sql() -> dict[str, str]:
         "eg_closeness": (
             f"WITH RECURSIVE {_EG}, {_NN}, {_MIND} "
             "SELECT w AS v, round(1.0 / (sum(d) * (SELECT n FROM nn)), 12) AS closeness "
+            "FROM mind GROUP BY w"
+        ),
+        "eg_lin_closeness": (
+            f"WITH RECURSIVE {_EG}, {_NN}, {_MIND} "
+            "SELECT w AS v, round((count(*) * count(*))::DOUBLE / "
+            "(sum(d) * (SELECT n FROM nn)), 9) AS lin "
             "FROM mind GROUP BY w"
         ),
         "eg_bfs_from_seed": (
