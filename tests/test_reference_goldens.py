@@ -36,3 +36,43 @@ def test_exact_avgdist_matches_reference_golden(spark, path, n, m, dist, norm, d
     assert r["avg_distance"] / (n - 1) == pytest.approx(dist, abs=1e-9)
     assert r["diameter"] == dia
     g.unpersist()
+
+
+def test_harmonic_matches_law_external_oracle(spark):
+    """Per-vertex harmonic vs the reference's LAW/HyperBall golden arrays.
+
+    `wiki.harmonic` holds HyperBall *approximations* (fractional values, run
+    on incoming paths — our transposed direction), so the gate is their
+    approximation error: exact values must sit within ~1% for essentially
+    every vertex, with exact agreement on which vertices score zero.
+    """
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from avgdist_rs_spark.operators.bfs import bfs_csr
+
+    base = "/root/reference/data/wikipedia-vote-network"
+    if not os.path.exists(f"{base}/wiki.harmonic"):
+        pytest.skip("reference golden not present")
+    law_nodes = [int(x) for x in open(f"{base}/wiki.nodes").read().split()]
+    law_harm = np.array(json.loads(open(f"{base}/wiki.harmonic").read()))
+    edges = spark.read.csv(f"{base}/wiki.csv", schema="src string, dst string")
+    g = GraphFrame.from_any_edges(edges)
+    orig2dense = {r["orig"]: r["id"] for r in g.nodes.collect()}
+    law2our = np.array([orig2dense[str(o)] for o in law_nodes], dtype=np.int64)
+
+    cap = bfs_csr(g, np.arange(g.num_nodes, dtype=np.int64), transposed=True, capture=True)
+    h = cap.groupBy("v").agg(F.sum(1.0 / F.col("dist")).alias("h")).toPandas()
+    ours = np.zeros(g.num_nodes)
+    ours[h["v"].to_numpy()] = h["h"].to_numpy()
+    mine = ours[law2our][: len(law_harm)]  # golden file is one entry short
+
+    assert (law_harm == 0).sum() == (mine == 0).sum()  # same unreached set
+    nz = law_harm > 0
+    rel = np.abs(mine[nz] - law_harm[nz]) / law_harm[nz]
+    assert rel.mean() < 0.01
+    assert np.quantile(rel, 0.99) < 0.01
+    assert (rel > 0.05).sum() <= 2  # lone artifacts of the truncated golden
+    g.unpersist()
