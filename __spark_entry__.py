@@ -393,6 +393,14 @@ def _q_ivf_ann(spark, sf):
     )
 
 
+def _q_emb_near_dup(spark, sf):
+    from avgdist_rs_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb(spark, sf), threshold=0.4, num_planes=8, seed=42).select(
+        F.col("a").cast("long"), F.col("b").cast("long"), "sim"
+    )
+
+
 def _q_session_stats(spark, sf):
     from avgdist_rs_spark.operators.sessions import session_stats
 
@@ -470,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_cosine_topk,
         "emb_lsh_ann": _q_lsh_ann,
         "emb_ivf_ann": _q_ivf_ann,
+        "emb_near_dup_pairs": _q_emb_near_dup,
         "events_session_stats": _q_session_stats,
         "media_metadata": _q_media_metadata,
         "media_features": _q_media_features,
@@ -741,6 +750,26 @@ FROM r WHERE rnk <= {_TOPK}
 """
 
 
+
+
+def _emb_near_dup_sql() -> str:
+    from avgdist_rs_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(8, 64, seed=42)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)" for p in lits
+    )
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS MATERIALIZED (SELECT vec_id AS id, v, {bits} AS bucket FROM e)
+SELECT x.id::BIGINT AS a, y.id::BIGINT AS b,
+       round({_cosine_expr('x.v', 'y.v')}, 4) AS sim
+FROM sig x JOIN sig y USING (bucket)
+WHERE x.id < y.id AND round({_cosine_expr('x.v', 'y.v')}, 4) >= 0.4
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "eg_edges": f"WITH {_EG} SELECT src, dst FROM eg_edges",
@@ -865,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_cosine_topk": _cosine_topk_sql(),
         "emb_lsh_ann": _lsh_ann_sql(),
+        "emb_near_dup_pairs": _emb_near_dup_sql(),
         "events_session_stats": (
             "WITH lagged AS (SELECT event_id, user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "

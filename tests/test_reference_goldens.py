@@ -76,3 +76,49 @@ def test_harmonic_matches_law_external_oracle(spark):
     assert np.quantile(rel, 0.99) < 0.01
     assert (rel > 0.05).sum() <= 2  # lone artifacts of the truncated golden
     g.unpersist()
+
+
+def test_distance_sums_and_reach_match_law_goldens(spark):
+    """Per-vertex Σdist and reachable-set size vs wiki.sum_of_distances /
+    wiki.reachable_nodes / wiki.lin (HyperBall approximations; LAW's reach
+    includes the vertex itself, lin = reach²/dist_sum)."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from avgdist_rs_spark.operators.bfs import bfs_csr
+
+    base = "/root/reference/data/wikipedia-vote-network"
+    if not os.path.exists(f"{base}/wiki.sum_of_distances"):
+        pytest.skip("reference golden not present")
+    law_nodes = [int(x) for x in open(f"{base}/wiki.nodes").read().split()]
+    law_sod = np.array(json.loads(open(f"{base}/wiki.sum_of_distances").read()))
+    law_reach = np.array(json.loads(open(f"{base}/wiki.reachable_nodes").read()))
+    law_lin = np.array(json.loads(open(f"{base}/wiki.lin").read()))
+    edges = spark.read.csv(f"{base}/wiki.csv", schema="src string, dst string")
+    g = GraphFrame.from_any_edges(edges)
+    orig2dense = {r["orig"]: r["id"] for r in g.nodes.collect()}
+    law2our = np.array([orig2dense[str(o)] for o in law_nodes], dtype=np.int64)[: len(law_sod)]
+
+    cap = bfs_csr(g, np.arange(g.num_nodes, dtype=np.int64), transposed=True, capture=True)
+    agg = cap.groupBy("v").agg(
+        F.sum("dist").alias("ds"), F.count("*").alias("rc")
+    ).toPandas()
+    ds = np.zeros(g.num_nodes)
+    rc = np.zeros(g.num_nodes)
+    ds[agg["v"].to_numpy()] = agg["ds"].to_numpy()
+    rc[agg["v"].to_numpy()] = agg["rc"].to_numpy()
+    my_sod, my_reach = ds[law2our], rc[law2our] + 1  # LAW reach includes self
+
+    def close(mine, law, zero_val):
+        nz = law > zero_val
+        rel = np.abs(mine[nz] - law[nz]) / law[nz]
+        return rel.mean() < 0.01 and (rel > 0.05).sum() <= 2
+
+    assert close(my_sod, law_sod, 0.0)
+    assert close(my_reach, law_reach, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        my_lin = np.where(my_sod > 0, my_reach**2 / np.where(my_sod > 0, my_sod, 1), 1.0)
+    assert close(my_lin, law_lin, 1.0)
+    g.unpersist()
