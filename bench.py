@@ -41,6 +41,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as em
+    from pyspark.sql import functions as F
     from avgdist_rs_spark.operators.avgdist import avgdist_main
     from avgdist_rs_spark.operators.bfs import bfs_csr
     from avgdist_rs_spark.operators.components import connected_components
@@ -93,6 +94,21 @@ def main() -> None:
     timed("simhash", lambda: simhash(docs).count())
     timed("cosine_topk", lambda: cosine_topk(emb, k=10, num_queries=32).count())
     timed("sessionize", lambda: session_stats(events).count())
+
+    from avgdist_rs_spark.operators.similarity import embedding_near_dup_pairs, ivf_ann
+
+    timed("ivf_ann", lambda: ivf_ann(emb, k=10, num_queries=32, num_centroids=16, nprobe=4).count())
+    timed("emb_near_dup", lambda: embedding_near_dup_pairs(emb, threshold=0.4).count())
+
+    from avgdist_rs_spark.operators.simpath import simple_paths_edges
+
+    ev0_type = events.where(F.col("event_id") == 0).collect()[0]["event_type"]
+    timed(
+        "simple_paths",
+        lambda: simple_paths_edges(
+            spark, em.event_edges(events), "E:0", f"H:{ev0_type}", max_len=16
+        ).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     print(
