@@ -71,3 +71,52 @@ def test_stateful_sessionize_matches_batch(spark, stream_dir):
     )
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stateful_state_survives_query_restart(spark, tmp_path):
+    """Restart from checkpointLocation: the second run processes ONLY the new
+    micro-batch, with per-user session state carried over — its output equals
+    the batch sessionization of the full data restricted to the new events."""
+    ck = str(tmp_path / "ck_sessions")
+    src = str(tmp_path / "src")  # the source path is part of the checkpoint
+    os.makedirs(src, exist_ok=True)
+    ev_all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    early = ev_all.where(F.col("ts") < "2024-01-05")
+    late = ev_all.where(F.col("ts") >= "2024-01-05")
+
+    out = str(tmp_path / "out")  # durable sink: memory sink can't recover
+
+    def run():
+        q = (
+            sessionize_stream(stream_events(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).toPandas()
+
+    # phase 1: only the early file exists; drain and stop (the "crash")
+    early.coalesce(1).write.mode("append").parquet(src)
+    p1 = run()
+    # phase 2: new data lands, restart from the SAME checkpoint + source path
+    late.coalesce(1).write.mode("append").parquet(src)
+    cumulative = run()
+    p2 = cumulative[~cumulative.event_id.isin(set(p1.event_id))]
+
+    ev = spark.read.parquet(src)
+    want = sessionize(ev).select("event_id", "user_id", "session_idx", "turn_idx").toPandas()
+    batch1_ids = set(late.select("event_id").toPandas()["event_id"])
+    got = p2.set_index("event_id").sort_index()
+    want1 = (
+        want[want.event_id.isin(batch1_ids)].set_index("event_id").sort_index()
+    )
+    assert len(p1) + len(p2) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_idx", "turn_idx"]],
+        want1[["user_id", "session_idx", "turn_idx"]],
+        check_dtype=False,
+    )
