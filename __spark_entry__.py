@@ -701,10 +701,10 @@ SELECT id, CASE {cases} ELSE 'und' END AS lang_pred, round(best, 6) AS hit_ratio
 """
 
 
-def _planes_sql_literals() -> list[str]:
+def _planes_sql_literals(num_planes: int = 6, dim: int = 64, seed: int = 42) -> list[str]:
     from avgdist_rs_spark.operators.similarity import hyperplanes
 
-    planes = hyperplanes(6, 64, seed=42)
+    planes = hyperplanes(num_planes, dim, seed=seed)
     return ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
 
 
@@ -753,12 +753,9 @@ FROM r WHERE rnk <= {_TOPK}
 
 
 def _emb_near_dup_sql() -> str:
-    from avgdist_rs_spark.operators.similarity import hyperplanes
-
-    planes = hyperplanes(8, 64, seed=42)
-    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
     bits = " || ".join(
-        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)" for p in lits
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)"
+        for p in _planes_sql_literals(num_planes=8)
     )
     return f"""
 WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -199,6 +199,19 @@ def bfs_csr(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         adj = bc.value
         offsets, targets, n = adj["offsets"], adj["targets"], adj["n"]
+        if use_ms:
+            for pdf in batches:
+                seeds_arr = pdf["seed"].to_numpy(dtype=np.int64)
+                outs = []
+                for lo in range(0, seeds_arr.size, 64):
+                    chunk = seeds_arr[lo : lo + 64]
+                    dias, sums, cnts = _msbfs_batch(offsets, targets, chunk)
+                    outs.append(pd.DataFrame(
+                        {"seed": chunk, "dia": dias, "dist_sum": sums, "reached": cnts}
+                    ))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+            return
         # uint8 stamp array reused across every seed this worker processes:
         # visited[v] == stamp ⇔ v reached in the current BFS. The kernel is
         # memory-bandwidth-bound (random gathers), so 1 byte per vertex beats
@@ -232,18 +245,6 @@ def bfs_csr(
                             "dist": np.concatenate(out_d),
                         }
                     )
-            elif use_ms:
-                outs = []
-                for lo in range(0, seeds_arr.size, 64):
-                    chunk = seeds_arr[lo : lo + 64]
-                    dias, sums, cnts = _msbfs_batch(offsets, targets, chunk)
-                    outs.append(
-                        pd.DataFrame(
-                            {"seed": chunk, "dia": dias, "dist_sum": sums, "reached": cnts}
-                        )
-                    )
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
             else:
                 dias = np.zeros(seeds_arr.size, dtype=np.int64)
                 sums = np.zeros(seeds_arr.size, dtype=np.int64)

@@ -66,10 +66,7 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels = ckpt.cut(new_labels, it, wall_s=time.monotonic() - t0)
-        if ckpt.dir is None and it % ckpt.every != 0:
-            # cut() was a no-op this superstep — still truncate lineage
-            new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = ckpt.step(new_labels, it, wall_s=time.monotonic() - t0)
         changed = (
             new_labels.alias("a")
             .join(labels.alias("b"), "v")

@@ -118,10 +118,12 @@ def minhash_signatures(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, h0..h{num_hashes-1}) MinHash signature — min of salted portable
-    hashes over the doc's shingle set. One groupBy, map-side partial mins."""
-    sh = word_shingles(docs, k, id_col, text_col)
+    hashes over the doc's shingle set. One groupBy, map-side partial mins.
+    ``shingles`` lets callers reuse an already-derived (id, shingle) set."""
+    sh = shingles if shingles is not None else word_shingles(docs, k, id_col, text_col)
     aggs = [
         F.min(portable_hash64(F.col("shingle"), salt=f"mh{i}:")).alias(f"h{i}")
         for i in range(num_hashes)
@@ -146,7 +148,10 @@ def minhash_lsh_pairs(
     Returns (a, b, jaccard) with a < b, jaccard ≥ threshold.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, k, id_col, text_col)
+    # one shingle derivation feeds both the signatures and the exact verify —
+    # two text scans otherwise
+    sh = word_shingles(docs, k, id_col, text_col)
+    sig = minhash_signatures(docs, num_hashes, k, id_col, text_col, shingles=sh)
     band_cols = []
     for bi in range(bands):
         parts = [F.col(f"h{bi * rows + r}").cast("string") for r in range(rows)]
@@ -169,7 +174,6 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verification restricted to the candidate pairs — the whole
     # point of LSH is to never touch the quadratic all-pairs shingle join
-    sh = word_shingles(docs, k, id_col, text_col)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("id").alias("a"), "shingle")
     sb = sh.select(F.col("id").alias("b"), "shingle")

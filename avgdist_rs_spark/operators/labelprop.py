@@ -66,10 +66,7 @@ def label_propagation(
             labels.join(winner, "v", "left")
             .select("v", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
         )
-        new_labels = ckpt.cut(new_labels, it, wall_s=time.monotonic() - t0)
-        if ckpt.dir is None and it % ckpt.every != 0:
-            # cut() was a no-op this superstep — still truncate lineage
-            new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = ckpt.step(new_labels, it, wall_s=time.monotonic() - t0)
         met.record(it, graph.num_nodes, time.monotonic() - t0)
         labels = new_labels
     sym.unpersist()

@@ -98,10 +98,7 @@ def pagerank(
             )
         else:
             delta = None
-        new_ranks = ckpt.cut(new_ranks, it, rows=n, wall_s=time.monotonic() - t0)
-        if ckpt.dir is None and it % ckpt.every != 0:
-            # cut() was a no-op this superstep — still truncate lineage
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+        new_ranks = ckpt.step(new_ranks, it, rows=n, wall_s=time.monotonic() - t0)
         contrib.unpersist()
         ranks = new_ranks
         met.record(it, n, time.monotonic() - t0, l1_delta=delta)

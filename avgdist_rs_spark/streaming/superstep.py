@@ -116,6 +116,16 @@ class Checkpointer:
             )
         return out
 
+    def step(self, df: DataFrame, superstep: int, rows: int | None = None,
+             wall_s: float | None = None) -> DataFrame:
+        """Per-superstep state handover: durable cut on the cadence, eager
+        localCheckpoint otherwise — state lineage is truncated EVERY superstep
+        either way (the idiom every iterative operator needs)."""
+        out = self.cut(df, superstep, rows=rows, wall_s=wall_s)
+        if self.dir is None and superstep % self.every != 0:
+            out = out.localCheckpoint(eager=True)
+        return out
+
     # ------------------------------------------------------------------ resume
     def latest(self) -> tuple[DataFrame, int] | None:
         """(state, superstep) of the last durable checkpoint, or None."""
