@@ -20,10 +20,12 @@ CASES = [
     ("/root/reference/data/twitter/twitter.csv", 475, 13289, 0.004972894, 2.357, 6),
     ("/root/reference/data/wikipedia-vote-network/wiki.csv", 7115, 103689, 0.000469639, 3.341, 10),
     ("/root/reference/data/gnutella/gnutella.csv", 22687, 54705, 0.000344487, 7.815, 22),
+    # reference's own exact run took 15.1 s single-node; ours ~12.6 s at local[32]
+    ("/root/reference/data/enron/enron.csv", 36692, 367662, 0.000109704, 4.025, 13),
 ]
 
 
-@pytest.mark.parametrize("path,n,m,dist,norm,dia", CASES, ids=["twitter", "wiki", "gnutella"])
+@pytest.mark.parametrize("path,n,m,dist,norm,dia", CASES, ids=["twitter", "wiki", "gnutella", "enron"])
 def test_exact_avgdist_matches_reference_golden(spark, path, n, m, dist, norm, dia):
     if not os.path.exists(path):
         pytest.skip(f"reference dataset not present: {path}")
