@@ -85,6 +85,14 @@ def main() -> None:
     )
     extras["avgdist_estimate_norm"] = round(float(r.final.get("norm") or 0.0), 6)
 
+    # the reference main binary's DEFAULT sampler: coverage-weighted (K4) —
+    # backward BFS from uniform probes, CDF inversion, forward BFS
+    rw = timed(
+        "avgdist_estimator_weighted",
+        lambda: avgdist_main(g, slot=64, eps=0.1, dummy=False, seed=42, max_batches=1),
+    )
+    extras["avgdist_weighted_norm"] = round(float(rw.final.get("norm") or 0.0), 6)
+
     rng = np.random.default_rng(7)
     seeds = rng.integers(0, g.num_nodes, size=2048)
     timed("bfs_2048_sources", lambda: bfs_csr(g, seeds).count())
