@@ -272,6 +272,7 @@ def bfs_frontier(
     max_supersteps: int | None = None,
     num_salts: int | None = None,
     hub_df: DataFrame | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Distributed multi-source BFS: returns ``visited(seed, v, dist)`` including
     the (seed, seed, 0) rows. ``seeds`` must have a single long column ``seed``.
@@ -279,6 +280,11 @@ def bfs_frontier(
     All k BFS trees advance in ONE join per superstep (batched, not task-per-seed):
     the frontier is keyed (seed, v), the edge side keeps its stable hash
     partitioning on src so the join only shuffles the frontier.
+
+    ``resume=True`` with a durable checkpointer restarts from the latest
+    checkpointed superstep (north rule: any BFS superstep is resumable) — the
+    frontier is exactly the visited rows of that superstep's distance, so no
+    separate frontier state needs persisting.
     """
     spark = graph.spark
     base = graph.edges_t if transposed else graph.edges
@@ -310,15 +316,21 @@ def bfs_frontier(
     # truncate the FRONTIER's lineage every superstep (it is the small state)
     # via eager localCheckpoint, and the VISITED union on the Checkpointer's
     # cadence (durable Parquet when a checkpoint dir is configured → resume).
-    frontier = seeds.select(
-        F.col("seed").cast("long").alias("seed"),
-        F.col("seed").cast("long").alias("v"),
-    ).localCheckpoint(eager=True)
-    visited = frontier.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(
-        eager=True
-    )
-
+    visited = None
     dist = 0
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            visited, dist = latest
+            frontier = visited.filter(F.col("dist") == dist).select("seed", "v")
+    if visited is None:
+        frontier = seeds.select(
+            F.col("seed").cast("long").alias("seed"),
+            F.col("seed").cast("long").alias("v"),
+        ).localCheckpoint(eager=True)
+        visited = frontier.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(
+            eager=True
+        )
     while True:
         t0 = time.monotonic()
         dist += 1

@@ -100,3 +100,29 @@ def test_salted_bfs_with_explicit_hubs_on_star(spark):
     stats = per_seed_stats(vis).collect()[0]
     # star fixture: 0 -> spokes -> leaves (reference golden: diameter 2)
     assert stats["dia"] == 2 and stats["reached"] == 2000
+
+
+def test_bfs_frontier_resume_from_checkpoint(spark, g, tmp_path):
+    """Interrupted BFS resumes from the durable checkpoint and matches an
+    uninterrupted run (north rule: any BFS superstep is resumable)."""
+    ckdir = str(tmp_path / "ckr")
+    seeds = [0, 5, 9]
+    # interrupted run: stop after 2 supersteps, durable every superstep
+    bfs_frontier(
+        g,
+        _seeds_df(spark, seeds),
+        checkpointer=Checkpointer(spark, "bfs", ckdir, every=1),
+        max_supersteps=2,
+    )
+    resumed = per_seed_stats(
+        bfs_frontier(
+            g,
+            _seeds_df(spark, seeds),
+            checkpointer=Checkpointer(spark, "bfs", ckdir, every=1),
+            resume=True,
+        )
+    ).toPandas().set_index("seed").sort_index()
+    full = per_seed_stats(
+        bfs_frontier(g, _seeds_df(spark, seeds))
+    ).toPandas().set_index("seed").sort_index()
+    pd.testing.assert_frame_equal(resumed, full)
