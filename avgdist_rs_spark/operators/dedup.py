@@ -69,6 +69,44 @@ def word_shingles(
     )
 
 
+
+def _jaccard_scores(sh: DataFrame, cand: DataFrame | None = None) -> DataFrame:
+    """(a, b, jaccard) from a distinct (id, shingle) set.
+
+    ``cand=None`` → all co-shingled pairs (the quadratic correctness baseline);
+    with ``cand(a, b)`` the intersection join is restricted to those pairs
+    (the LSH scale path).
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("id").alias("a"), "shingle")
+    sb = sh.select(F.col("id").alias("b"), "shingle")
+    if cand is None:
+        inter = (
+            sa.join(sb, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            cand.join(sa, "a")
+            .join(sb, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -88,27 +126,7 @@ def jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("a"), "shingle")
-    b = sh.select(F.col("id").alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_scores(sh).where(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------------------------- minhash
@@ -174,27 +192,7 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verification restricted to the candidate pairs — the whole
     # point of LSH is to never touch the quadratic all-pairs shingle join
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col("id").alias("a"), "shingle")
-    sb = sh.select(F.col("id").alias("b"), "shingle")
-    inter = (
-        cand.join(sa, "a")
-        .join(sb, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_scores(sh, cand).where(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------------------------- simhash
