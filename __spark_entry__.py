@@ -329,6 +329,7 @@ def _q_token_count(spark, sf):
         F.col("n_tokens").cast("long"),
         F.col("n_distinct_tokens").cast("long"),
         F.col("n_chars").cast("long"),
+        F.col("n_bpe_ish").cast("long"),
     )
 
 
@@ -864,7 +865,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": (
             "SELECT doc_id::BIGINT AS id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
             "len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens, "
-            "length(text)::BIGINT AS n_chars FROM documents"
+            "length(text)::BIGINT AS n_chars, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_ish "
+            "FROM documents"
         ),
         "doc_lang_id": _lang_id_sql(),
         "doc_quality": (

@@ -24,14 +24,24 @@ def _words(text_col) -> F.Column:
     return F.split(text_col, " ")
 
 
+#: BPE-ish tokenizer regex: alnum runs + single non-alnum-non-space marks —
+#: the usual pre-tokenization shape; dialect-neutral (identical in Java regex
+#: and DuckDB RE2, verified)
+BPE_ISH_PATTERN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_tokens, n_distinct_tokens, n_chars) — whitespace tokenization."""
+    """(id, n_tokens, n_distinct_tokens, n_chars, n_bpe_ish) — whitespace
+    tokenization plus a BPE-ish regex count (subword-cost proxy)."""
     w = _words(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("id"),
         F.size(w).alias("n_tokens"),
         F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)")
+        ).alias("n_bpe_ish"),
     )
 
 

@@ -210,3 +210,17 @@ def test_ivf_ann_recall_and_shape(spark):
         exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_multimodal_resize_and_frames(docs):
+    from avgdist_rs_spark.operators.multimodal import attach_binary, resize_image, sample_frames
+
+    media = attach_binary(docs)
+    rs = resize_image(media, width=8, height=8).toPandas().set_index("media_id")
+    assert (rs["n_bytes"] == 8 * 8 * 3).all() and len(rs.loc[0, "payload"]) == 192
+    # deterministic: identical payloads (docs 0 and 2) resize identically
+    assert bytes(rs.loc[0, "payload"]) == bytes(rs.loc[2, "payload"])
+    fr = sample_frames(media, every_n_bytes=16, max_frames=4).toPandas()
+    per = fr.groupby("media_id").size()
+    assert (per <= 4).all() and (per >= 1).all()
+    assert (fr["n_bytes"] <= 16).all()
