@@ -32,8 +32,19 @@ def connected_components(
     max_supersteps: int = 200,
     checkpointer: Checkpointer | None = None,
     metrics: SuperstepMetrics | None = None,
+    shortcut: bool = False,
 ) -> DataFrame:
-    """(v, component) where component = min vertex id reachable undirected."""
+    """(v, component) where component = min vertex id reachable undirected.
+
+    ``shortcut=True`` adds pointer jumping each superstep — after taking the
+    neighbor minimum, every vertex also adopts its current label's label
+    (``component ← label(component)``). Labels then travel 2^k hops in k
+    supersteps instead of k hops, turning O(diameter) convergence into
+    O(log diameter) — the lever for the north star's *large-diameter* graphs
+    (a 10^4-hop payment-graph chain needs ~14 shortcut rounds, not 10^4) at
+    the cost of one extra self-join per superstep. Both modes converge to the
+    identical exact labeling (tested).
+    """
     spark = graph.spark
     met = metrics if metrics is not None else SuperstepMetrics(name="cc")
     ckpt = checkpointer or Checkpointer(spark, name="cc", every=4)
@@ -66,6 +77,21 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        if shortcut:
+            # pointer jump: component ← label(component). The label table is
+            # the (small) per-vertex state, self-joined on the label key.
+            parent = new_labels.select(
+                F.col("v").alias("_pv"), F.col("component").alias("_pc")
+            )
+            new_labels = (
+                new_labels.join(parent, new_labels.component == F.col("_pv"), "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
+                    ).alias("component"),
+                )
+            )
         new_labels = ckpt.step(new_labels, it, wall_s=time.monotonic() - t0)
         changed = (
             new_labels.alias("a")

@@ -193,3 +193,32 @@ def test_salted_bfs_equivalence(spark):
     )
     assert plain == salted
     g.unpersist()
+
+
+def test_cc_shortcut_equals_plain_and_converges_log_diameter(spark):
+    """Pointer-jumping CC: identical labels, O(log d) supersteps on a chain."""
+    import numpy as np
+
+    from avgdist_rs_spark.operators.components import connected_components
+    from avgdist_rs_spark.plans.graph import GraphFrame
+    from avgdist_rs_spark.sources.fixtures import barabasi_graph
+    from avgdist_rs_spark.streaming.superstep import SuperstepMetrics
+
+    # 128-vertex path: plain hash-min needs ~127 supersteps, shortcut ~O(log)
+    n = 128
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    g = GraphFrame.from_edges(pairs, num_nodes=n)
+    met = SuperstepMetrics()
+    got = connected_components(g, shortcut=True, metrics=met).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert met.total_supersteps <= 12  # log2(128)=7 plus slack, not ~127
+    g.unpersist()
+
+    # random graph: shortcut and plain produce identical exact labelings
+    g2 = barabasi_graph(spark, n=150, m=2, seed=9)
+    a = {r["v"]: r["component"] for r in connected_components(g2).collect()}
+    b = {r["v"]: r["component"] for r in connected_components(g2, shortcut=True).collect()}
+    assert a == b
+    g2.unpersist()
