@@ -32,18 +32,25 @@ def connected_components(
     max_supersteps: int = 200,
     checkpointer: Checkpointer | None = None,
     metrics: SuperstepMetrics | None = None,
-    shortcut: bool = False,
+    shortcut: bool = True,
 ) -> DataFrame:
     """(v, component) where component = min vertex id reachable undirected.
 
-    ``shortcut=True`` adds pointer jumping each superstep — after taking the
-    neighbor minimum, every vertex also adopts its current label's label
+    Pointer jumping (``shortcut``, DEFAULT) — after taking the neighbor
+    minimum, every vertex also adopts its current label's label
     (``component ← label(component)``). Labels then travel 2^k hops in k
     supersteps instead of k hops, turning O(diameter) convergence into
-    O(log diameter) — the lever for the north star's *large-diameter* graphs
-    (a 10^4-hop payment-graph chain needs ~14 shortcut rounds, not 10^4) at
-    the cost of one extra self-join per superstep. Both modes converge to the
-    identical exact labeling (tested).
+    O(log diameter) — the north star is explicitly *large-diameter* graphs
+    (the reference's payment graph shows ~24k-hop chains,
+    ``results/bit-count.txt``), where plain hash-min would need tens of
+    thousands of supersteps and pointer jumping needs ~15. Cost: one extra
+    self-join of the (small) label table per superstep — irrelevant next to
+    the edge join. ``shortcut=False`` keeps the textbook hash-min for
+    equivalence testing; both converge to the identical exact labeling.
+
+    Change detection rides the label update itself: the old component is
+    carried through the superstep and a single aggregate over the (already
+    checkpointed) result counts changes — no extra labels⋈labels join.
     """
     spark = graph.spark
     met = metrics if metrics is not None else SuperstepMetrics(name="cc")
@@ -68,10 +75,13 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("cand").alias("cand"))
         )
-        new_labels = (
+        # carry the pre-update label as _old so convergence detection is a
+        # plain aggregate over the superstep output, not a second full join
+        stepped = (
             labels.join(nbr_min, "v", "left")
             .select(
                 "v",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("cand"), F.col("component"))
                 ).alias("component"),
@@ -80,27 +90,28 @@ def connected_components(
         if shortcut:
             # pointer jump: component ← label(component). The label table is
             # the (small) per-vertex state, self-joined on the label key.
-            parent = new_labels.select(
+            parent = stepped.select(
                 F.col("v").alias("_pv"), F.col("component").alias("_pc")
             )
-            new_labels = (
-                new_labels.join(parent, new_labels.component == F.col("_pv"), "left")
+            stepped = (
+                stepped.join(parent, stepped.component == F.col("_pv"), "left")
                 .select(
                     "v",
+                    "_old",
                     F.least(
                         F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
                     ).alias("component"),
                 )
             )
-        new_labels = ckpt.step(new_labels, it, wall_s=time.monotonic() - t0)
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "v")
-            .filter(F.col("a.component") != F.col("b.component"))
-            .count()
+        stepped = ckpt.step(stepped, it, wall_s=time.monotonic() - t0)
+        changed = int(
+            stepped.agg(
+                F.sum((F.col("component") != F.col("_old")).cast("long")).alias("n")
+            ).collect()[0]["n"]
+            or 0
         )
         met.record(it, changed, time.monotonic() - t0)
-        labels = new_labels
+        labels = stepped.drop("_old")
         if changed == 0:
             break
     sym.unpersist()

@@ -17,7 +17,8 @@ Scale design:
 - MinHash signatures: ``num_hashes`` min-aggregates over the distinct
   (doc, shingle) set — one shuffle, map-side partial mins.
 - SimHash: per-bit ±1 sums as N parallel aggregates in ONE groupBy pass
-  (no bit-explosion), then bit-assembly as a literal-weighted sum.
+  (no bit-explosion), then bit-assembly as a literal-weighted sum; pair
+  generation is the pigeonhole chunk-bucket equi-join (never all-pairs).
 """
 
 from __future__ import annotations
@@ -229,18 +230,44 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucketed: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (a < b) with SimHash Hamming distance ≤ max_hamming.
 
-    All-pairs here (correctness baseline); the scale path buckets on
-    ``bits/(max_hamming+1)``-bit chunks (any pair within distance d shares at
-    least one of d+1 chunks) and joins within chunks only.
+    Scale path (default): the pigeonhole chunk-bucket join. Split the ``bits``
+    fingerprint into ``max_hamming + 1`` contiguous chunks; any two
+    fingerprints within Hamming distance ``max_hamming`` must agree on at
+    least one full chunk, so candidates are generated by an equi-join on
+    (chunk_index, chunk_value) buckets and only then verified with the exact
+    popcount. Cost is O(Σ bucket²) per chunk table — never the |corpus|²
+    theta-join (``bucketed=False`` keeps the all-pairs correctness baseline
+    for tests). Output is identical in both modes.
     """
     s = simhash(docs, bits, id_col, text_col)
-    a = s.select(F.col("id").alias("a"), F.col("simhash").alias("fa"))
-    b = s.select(F.col("id").alias("b"), F.col("simhash").alias("fb"))
+    if not bucketed:
+        a = s.select(F.col("id").alias("a"), F.col("simhash").alias("fa"))
+        b = s.select(F.col("id").alias("b"), F.col("simhash").alias("fb"))
+        return (
+            a.join(b, F.col("a") < F.col("b"))
+            .select("a", "b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+        )
+    nchunks = min(max_hamming + 1, bits)
+    base, rem = divmod(bits, nchunks)
+    keys, off = [], 0
+    for ci in range(nchunks):
+        w = base + (1 if ci < rem else 0)
+        chunk = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+        keys.append(F.concat_ws(":", F.lit(str(ci)), chunk.cast("string")))
+        off += w
+    stacked = s.select("id", "simhash", F.explode(F.array(*keys)).alias("ck"))
+    x = stacked.select(F.col("id").alias("a"), F.col("simhash").alias("fa"), "ck")
+    y = stacked.select(F.col("id").alias("b"), F.col("simhash").alias("fb"), "ck")
+    # a pair agreeing on several chunks collides in several buckets → distinct
     return (
-        a.join(b, F.col("a") < F.col("b"))
+        x.join(y, "ck")
+        .where(F.col("a") < F.col("b"))
         .select("a", "b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

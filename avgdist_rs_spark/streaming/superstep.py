@@ -120,11 +120,11 @@ class Checkpointer:
              wall_s: float | None = None) -> DataFrame:
         """Per-superstep state handover: durable cut on the cadence, eager
         localCheckpoint otherwise — state lineage is truncated EVERY superstep
-        either way (the idiom every iterative operator needs)."""
-        out = self.cut(df, superstep, rows=rows, wall_s=wall_s)
-        if self.dir is None and superstep % self.every != 0:
-            out = out.localCheckpoint(eager=True)
-        return out
+        either way (the idiom every iterative operator needs), so plans stay
+        O(1)-deep between durable cuts too."""
+        if superstep % self.every != 0:
+            return df.localCheckpoint(eager=True)
+        return self.cut(df, superstep, rows=rows, wall_s=wall_s)
 
     # ------------------------------------------------------------------ resume
     def latest(self) -> tuple[DataFrame, int] | None:

@@ -107,6 +107,28 @@ def test_simhash_identical_docs_equal_and_pairs(docs):
     assert pairs[(0, 2)] == 0
 
 
+def test_simhash_pairs_bucketed_equals_all_pairs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for mh in (0, 3, 6):
+        fast = {
+            (r["a"], r["b"], r["hamming"])
+            for r in simhash_pairs(docs, max_hamming=mh, bucketed=True).collect()
+        }
+        slow = {
+            (r["a"], r["b"], r["hamming"])
+            for r in simhash_pairs(docs, max_hamming=mh, bucketed=False).collect()
+        }
+        assert fast == slow
+    # uneven split: bits not divisible by (max_hamming + 1)
+    fast = {
+        tuple(r) for r in simhash_pairs(docs, bits=29, max_hamming=4, bucketed=True).collect()
+    }
+    slow = {
+        tuple(r) for r in simhash_pairs(docs, bits=29, max_hamming=4, bucketed=False).collect()
+    }
+    assert fast == slow
+
+
 def test_cosine_topk_vs_numpy(spark):
     rng = np.random.default_rng(7)
     vecs = rng.standard_normal((30, 8)).round(4)

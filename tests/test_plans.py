@@ -66,6 +66,17 @@ def test_pipeline_ops_stay_jvm_side(docs):
             assert p.count("HashAggregate") >= 2
 
 
+def test_simhash_pairs_no_cartesian(docs):
+    """Chunk-bucket candidate generation must compile to an equi-join —
+    a CartesianProduct / BroadcastNestedLoopJoin here is the |corpus|²
+    scale-killer the bucketing exists to avoid."""
+    from avgdist_rs_spark.operators.dedup import simhash_pairs
+
+    p = plan_of(simhash_pairs(docs, bits=32, max_hamming=6))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_cosine_topk_broadcasts_queries(emb):
     from avgdist_rs_spark.operators.similarity import cosine_topk
 
