@@ -34,11 +34,13 @@ from avgdist_rs_spark.plans.graph import GraphFrame
 _GAP_S = 1800
 _PR_ITERS = 10
 _LP_ITERS = 4
-_CC_ROUNDS = 16  # oracle unroll; ≥ graph diameter (sessions ≤ 4 ⇒ dia ≤ 10)
-_DIST_MAX = 12  # oracle BFS closure depth bound (directed chains ≤ 5)
+_CC_ROUNDS = 16  # oracle unroll; self-checked (errors if not converged by then)
+_DIST_MAX = 12  # oracle BFS closure depth bound; self-checked (errors if hit)
 _NQ, _TOPK = 8, 5  # similarity-query defaults
 _MH_HASHES, _MH_BANDS = 8, 4
 _SH_BITS = 32
+_SAMP_EPS, _SAMP_SLOT = 0.2, 16  # sampled-estimator defaults (k = ceil(log2 n / 2eps²))
+_PAIR_EPS, _PAIR_WINDOW = 0.3, 100  # pair-rejection: k at eps, draw window = 100·n
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,14 +438,70 @@ def _q_media_features(spark, sf):
     return f.select(F.col("media_id").cast("long"), "digest", F.col("n_bytes").cast("long"))
 
 
+def _batch_cols():
+    return [
+        "batch",
+        F.col("size").cast("long").alias("size"),
+        F.col("dia").cast("long").alias("dia"),
+        F.col("dist_sum").cast("long").alias("dist_sum"),
+        F.col("reached").cast("long").alias("reached"),
+        "anorm",
+        "mean_norm",
+        "std_norm",
+        "dia_mean",
+    ]
+
+
 def _q_avgdist_sampled(spark, sf):
-    """Seeded sampling estimator (uniform seeds) — non-SQL (RNG), rows-only check."""
-    from avgdist_rs_spark.operators.avgdist import avgdist_unipairs
+    """K5 + A1–A3: uniform hash-stream sampler, per-batch running stats.
+
+    Sampling draws from the portable md5 hash stream (engine-replayable), so
+    the DuckDB oracle verifies every drawn seed, per-batch pooled aggregate,
+    and the running mean/std — the previously rows-only estimator path is now
+    value-exact end to end.
+    """
+    from avgdist_rs_spark.operators.avgdist import (
+        avgdist_batches,
+        k_formula,
+        sample_uniform_hash,
+    )
 
     g = _graph(spark, sf)
-    r = avgdist_unipairs(g, eps=0.2, exact=False, seed=42)
-    return spark.createDataFrame(
-        [(float(r["avg_distance"]), int(r["diameter"]))], "avg_distance double, diameter long"
+    k = k_formula(g.num_nodes, _SAMP_EPS)
+    seeds = sample_uniform_hash(g.num_nodes, k)
+    return avgdist_batches(g, seeds, slot=_SAMP_SLOT).select(*_batch_cols())
+
+
+def _q_avgdist_weighted(spark, sf):
+    """K4 + A9 + O3: coverage-weighted hash-stream sampler (backward BFS →
+    CDF inversion), then the same per-batch estimator pipeline."""
+    from avgdist_rs_spark.operators.avgdist import (
+        avgdist_batches,
+        k_formula,
+        sample_coverage_weighted_hash,
+    )
+
+    g = _graph(spark, sf)
+    k = k_formula(g.num_nodes, _SAMP_EPS)
+    seeds = sample_coverage_weighted_hash(g, k)
+    return avgdist_batches(g, seeds, slot=_SAMP_SLOT).select(*_batch_cols())
+
+
+def _q_avgdist_pairs(spark, sf):
+    """K3: pair-rejection sampler on the hash stream — first k accepted pairs
+    in draw order, with per-source BFS stats and ratio (unipairs semantics)."""
+    from avgdist_rs_spark.operators.avgdist import k_formula, sample_pair_rejection_hash
+
+    g = _graph(spark, sf)
+    k = k_formula(g.num_nodes, _PAIR_EPS)
+    r = sample_pair_rejection_hash(g, k, window_factor=_PAIR_WINDOW)
+    return _orig(g, r, ["v"]).select(
+        F.col("rank").cast("long").alias("rank"),
+        "v",
+        F.col("dia").cast("long").alias("dia"),
+        F.col("dist_sum").cast("long").alias("dist_sum"),
+        F.col("reached").cast("long").alias("reached"),
+        "ratio",
     )
 
 
@@ -466,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_simple_paths": _q_simple_paths,
         "eg_harmonic_histogram": _q_harmonic_histogram,
         "eg_avgdist_sampled": _q_avgdist_sampled,
+        "eg_avgdist_weighted": _q_avgdist_weighted,
+        "eg_avgdist_pairs": _q_avgdist_pairs,
         "doc_dedup_exact": _q_dedup_exact,
         "doc_jaccard_pairs": _q_jaccard_pairs,
         "doc_minhash_signatures": _q_minhash_signatures,
@@ -529,20 +589,122 @@ eg_verts AS MATERIALIZED (
 _OG = "og AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM eg_edges GROUP BY src)"
 _NN = "nn AS MATERIALIZED (SELECT count(*) AS n FROM eg_verts)"
 
-#: directed BFS closure: min hop distance for every reachable ordered pair
+#: directed BFS closure: min hop distance for every reachable ordered pair.
+#: Self-checking: if any path instance reaches the _DIST_MAX bound the closure
+#: may be truncated (Spark runs BFS to convergence) — error out loudly instead
+#: of silently under-counting at an unexpected scale factor.
 _MIND = f"""
 dd(v, w, d) AS (
   SELECT src, dst, 1 FROM eg_edges
   UNION
   SELECT dd.v, e.dst, dd.d + 1 FROM dd JOIN eg_edges e ON dd.w = e.src
   WHERE dd.d < {_DIST_MAX}),
-mind AS MATERIALIZED (SELECT v, w, min(d) AS d FROM dd GROUP BY v, w)
+mind AS MATERIALIZED (
+  SELECT v, w, min(d) AS d FROM dd GROUP BY v, w
+  HAVING CASE WHEN (SELECT max(d) FROM dd) >= {_DIST_MAX}
+         THEN error('oracle BFS closure truncated: raise _DIST_MAX') ELSE TRUE END)
 """
 
 _SYM = (
     "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
     "(SELECT src, dst FROM eg_edges UNION ALL SELECT dst AS src, src AS dst FROM eg_edges))"
 )
+
+# --- portable-sampling fragments: dense rank (== GraphFrame.dense_ids: rank of
+# --- sorted orig key), per-seed BFS stats, and the md5 hash stream -----------
+
+_RV = "rv AS MATERIALIZED (SELECT v, (row_number() OVER (ORDER BY v) - 1)::BIGINT AS id FROM eg_verts)"
+_SSTAT = (
+    "sstat AS MATERIALIZED "
+    "(SELECT v, max(d) AS dia, sum(d) AS ds, count(*) AS rc FROM mind GROUP BY v)"
+)
+
+
+def _hmod(salt: str, var: str, mod: str) -> str:
+    """DuckDB rendering of hash_stream: h(salt||j) mod m (h is 60-bit, ≥0)."""
+    return f"(('0x' || substr(md5('{salt}' || {var}::VARCHAR), 1, 15))::BIGINT % {mod})"
+
+
+def _batch_stats_sql(picked: str) -> str:
+    """Per-batch pooled stats + running mean/std over a picked(j, id) CTE —
+    mirrors operators.avgdist.avgdist_batches column for column."""
+    return f"""
+pstat AS (SELECT p.j, coalesce(s.dia, 0) AS dia, coalesce(s.ds, 0) AS ds,
+                 coalesce(s.rc, 0) AS rc
+          FROM {picked} p JOIN rv ON rv.id = p.id LEFT JOIN sstat s ON s.v = rv.v),
+bat AS (SELECT (j // {_SAMP_SLOT})::BIGINT AS batch, count(*)::BIGINT AS size,
+               max(dia)::BIGINT AS dia, sum(ds)::BIGINT AS dist_sum,
+               sum(rc)::BIGINT AS reached
+        FROM pstat GROUP BY 1),
+ban AS (SELECT *, CASE WHEN reached > 0
+                       THEN round(dist_sum::DOUBLE / reached, 6) END AS anorm FROM bat)
+SELECT batch, size, dia, dist_sum, reached, anorm,
+       round(avg(anorm) OVER w, 6) AS mean_norm,
+       CASE WHEN count(anorm) OVER w > 1
+            THEN round(stddev_samp(anorm) OVER w, 6) END AS std_norm,
+       round(avg(CASE WHEN reached > 0 THEN dia END) OVER w, 6) AS dia_mean
+FROM ban WINDOW w AS (ORDER BY batch ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def _k_cte(eps: float) -> str:
+    return f"ks AS (SELECT ceil(log2(n) / (2 * {eps} * {eps}))::BIGINT AS k FROM nn)"
+
+
+def _avgdist_sampled_sql() -> str:
+    return f"""
+WITH RECURSIVE {_EG}, {_NN}, {_MIND.strip()}, {_RV}, {_SSTAT},
+{_k_cte(_SAMP_EPS)},
+draws AS (SELECT unnest(generate_series(0, (SELECT k FROM ks) - 1))::BIGINT AS j),
+picked AS (SELECT j, {_hmod('us:', 'j', '(SELECT n FROM nn)')} AS id FROM draws),
+{_batch_stats_sql('picked')}
+"""
+
+
+def _avgdist_weighted_sql() -> str:
+    n = "(SELECT n FROM nn)"
+    return f"""
+WITH RECURSIVE {_EG}, {_NN}, {_MIND.strip()}, {_RV}, {_SSTAT},
+{_k_cte(_SAMP_EPS)},
+draws AS (SELECT unnest(generate_series(0, (SELECT k FROM ks) - 1))::BIGINT AS j),
+probes AS MATERIALIZED (
+  SELECT {_hmod('wp:', 'j', n)} AS pid, count(*) AS w FROM draws GROUP BY 1),
+covp AS MATERIALIZED (
+  SELECT m.v AS vv, p.pid FROM probes p JOIN rv t ON t.id = p.pid
+    JOIN mind m ON m.w = t.v
+  UNION
+  SELECT t.v, p.pid FROM probes p JOIN rv t ON t.id = p.pid),
+cov AS MATERIALIZED (
+  SELECT a.id, sum(p.w)::BIGINT AS c
+  FROM covp JOIN probes p ON p.pid = covp.pid JOIN rv a ON a.v = covp.vv
+  GROUP BY a.id),
+cum AS MATERIALIZED (
+  SELECT id, c, sum(c) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum FROM cov),
+mx AS (SELECT sum(c) AS maxc FROM cov),
+wdraws AS (SELECT j, {_hmod('wd:', 'j', '(SELECT maxc FROM mx)')} + 1 AS dc FROM draws),
+picked AS (SELECT w.j, c.id FROM wdraws w
+           JOIN cum c ON w.dc <= c.cum AND w.dc > c.cum - c.c),
+{_batch_stats_sql('picked')}
+"""
+
+
+def _avgdist_pairs_sql() -> str:
+    n = "(SELECT n FROM nn)"
+    return f"""
+WITH RECURSIVE {_EG}, {_NN}, {_MIND.strip()}, {_RV}, {_SSTAT},
+{_k_cte(_PAIR_EPS)},
+pj AS (SELECT unnest(generate_series(0, {_PAIR_WINDOW} * {n} - 1))::BIGINT AS j),
+cand AS (SELECT j, {_hmod('pv:', 'j', n)} AS vid, {_hmod('pw:', 'j', n)} AS wid FROM pj),
+acc AS (SELECT c.j, c.vid FROM cand c
+        JOIN rv a ON a.id = c.vid JOIN rv b ON b.id = c.wid
+        JOIN mind m ON m.v = a.v AND m.w = b.v
+        WHERE c.vid <> c.wid),
+ranked AS (SELECT row_number() OVER (ORDER BY j)::BIGINT AS rank, vid FROM acc)
+SELECT r.rank, a.v, s.dia::BIGINT AS dia, s.ds::BIGINT AS dist_sum,
+       s.rc::BIGINT AS reached, round(s.ds::DOUBLE / s.rc, 6) AS ratio
+FROM ranked r JOIN rv a ON a.id = r.vid JOIN sstat s ON s.v = a.v
+WHERE r.rank <= (SELECT k FROM ks)
+"""
 
 
 def _pagerank_sql() -> str:
@@ -586,7 +748,17 @@ def _cc_sql() -> str:
             f"l{i} AS MATERIALIZED (SELECT l.v, least(l.comp, coalesce(m.cand, l.comp)) AS comp "
             f"FROM l{p} l LEFT JOIN m{i} m ON m.v = l.v)"
         )
-    return "WITH " + ",\n".join(parts) + f"\nSELECT v, comp AS component FROM l{_CC_ROUNDS}"
+    # self-check: Spark iterates to convergence; the unroll must have converged
+    # by round N or the comparison is meaningless — error instead of mismatching
+    parts.append(
+        f"ccguard AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM l{_CC_ROUNDS - 1} a "
+        f"JOIN l{_CC_ROUNDS} b ON a.v = b.v AND a.comp <> b.comp) "
+        f"THEN error('oracle CC unroll not converged: raise _CC_ROUNDS') ELSE 1 END AS ok)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT v, comp AS component FROM l{_CC_ROUNDS} WHERE (SELECT ok FROM ccguard) = 1"
+    )
 
 
 def _lp_sql() -> str:
@@ -841,6 +1013,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT floor(harmonic * 1000000000.0)::BIGINT AS bucket, "
             "count(*)::BIGINT AS cnt FROM h GROUP BY 1"
         ),
+        "eg_avgdist_sampled": _avgdist_sampled_sql(),
+        "eg_avgdist_weighted": _avgdist_weighted_sql(),
+        "eg_avgdist_pairs": _avgdist_pairs_sql(),
         "doc_dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS dup_count "
             "FROM documents GROUP BY md5(text)"
@@ -916,8 +1091,7 @@ def oracle_sql() -> dict[str, str]:
             "min(octet_length(encode(text)))::BIGINT AS min_bytes, "
             "max(octet_length(encode(text)))::BIGINT AS max_bytes FROM documents"
         ),
-        # eg_avgdist_sampled, media_features, emb_ivf_ann: non-SQL (seeded RNG /
-        # sha256 UDF / ML model)
+        # media_features, emb_ivf_ann: non-SQL (sha256 UDF / ML model)
         # → rows-only check by design.
     }
     return sql

@@ -37,3 +37,23 @@ def md5_key(col: Column | str) -> Column:
     """Full 128-bit content key as hex text (exact-dedup grouping key)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(c)
+
+
+def py_hash64(s: str, salt: str = "") -> int:
+    """Driver-side Python twin of :func:`portable_hash64` — same 60 bits."""
+    import hashlib
+
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)
+
+
+def hash_stream(salt: str, count: int):
+    """Deterministic pseudo-random 60-bit stream: h(salt || index).
+
+    The engine-portable replacement for an RNG in sampling operators: any
+    engine that has md5 (Spark, DuckDB, the local Python oracle) reproduces
+    the identical stream, so sampled-estimator results are value-verifiable
+    cross-engine at any scale factor — no seed lists to ship around.
+    """
+    import numpy as np
+
+    return np.array([py_hash64(str(j), salt) for j in range(count)], dtype=np.int64)

@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash_stream
 from ..plans.graph import GraphFrame
 from ..streaming.superstep import SuperstepMetrics
 from .bfs import DEFAULT_CSR_MAX_EDGES, bfs_csr, bfs_frontier, per_seed_stats
@@ -109,7 +110,12 @@ def sample_uniform(n: int, k: int, rng: np.random.Generator) -> np.ndarray:
 
 
 def sample_coverage_weighted(
-    graph: GraphFrame, k: int, rng: np.random.Generator, impl: str = "auto"
+    graph: GraphFrame,
+    k: int,
+    rng: np.random.Generator | None,
+    impl: str = "auto",
+    probes: np.ndarray | None = None,
+    draws_fn=None,
 ) -> np.ndarray:
     """K4 "cross" sampler (``src/main.rs:56-111``), distributed CDF inversion.
 
@@ -118,9 +124,13 @@ def sample_coverage_weighted(
     lower bound. The prefix sum is computed scalably: range-partition counts by
     vertex id, per-partition partial sums to the driver (P values), broadcast
     offsets, per-partition ``searchsorted`` — no driver-side n-length array.
+
+    ``probes`` / ``draws_fn(maxc)`` override the RNG (the portable hash-stream
+    sampler plugs in here so the DuckDB oracle can replay the draw sequence).
     """
     n = graph.num_nodes
-    probes = sample_uniform(n, k, rng)
+    if probes is None:
+        probes = sample_uniform(n, k, rng)
     # run each DISTINCT probe's backward BFS once, weight coverage by probe
     # multiplicity (the reference runs one BFS per draw — duplicates count
     # twice; BFS is deterministic so weighting is exactly equivalent)
@@ -135,10 +145,12 @@ def sample_coverage_weighted(
             pd.DataFrame({"seed": uniq}), schema="seed long"
         )
         cap = bfs_frontier(graph, seeds_df, transposed=True).filter("dist > 0").select("seed", "v")
-    covered = cap.join(wdf, "seed").select("v", "w")
-    # the probe seed itself is covered too (seen includes start, src/main.rs:25,82)
-    probes_w = wdf.select(F.col("seed").alias("v"), "w")
-    counts = covered.union(probes_w).groupBy("v").agg(F.sum("w").alias("c"))
+    # the probe seed itself is covered too (seen includes start,
+    # src/main.rs:25,82) — and each vertex counts ONCE per probe (the
+    # reference's seen BitVec): dedupe (seed, v) before weighting, else a
+    # probe on a cycle (strictly reachable from itself) would count double
+    cov_pairs = cap.union(wdf.select("seed", F.col("seed").alias("v"))).distinct()
+    counts = cov_pairs.join(wdf, "seed").groupBy("v").agg(F.sum("w").alias("c"))
 
     p = int(graph.spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parted = (
@@ -157,7 +169,10 @@ def sample_coverage_weighted(
         offsets[int(r["pid"])] = running
         running += int(r["s"])
     maxc = running
-    draws = rng.integers(0, maxc + 1, size=k, dtype=np.int64)  # inclusive upper bound
+    if draws_fn is not None:
+        draws = np.asarray(draws_fn(maxc), dtype=np.int64)
+    else:
+        draws = rng.integers(0, maxc + 1, size=k, dtype=np.int64)  # inclusive upper bound
 
     bc = graph.spark.sparkContext.broadcast({"offsets": offsets, "draws": draws})
 
@@ -267,6 +282,168 @@ def sample_pair_rejection(
     if len(out) < k:
         raise RuntimeError(f"pair-rejection sampler got {len(out)}/{k} acceptances")
     return out.head(k).reset_index(drop=True)
+
+
+# --------------------------------------------------------------- portable sampling
+# The reference's RNG (ThreadRng) is not seedable, so sampling here is
+# pluggable; these variants draw from the md5 hash stream
+# (functions.hashing.hash_stream), which ANY engine can replay — the DuckDB
+# driver oracle verifies every drawn seed, per-batch aggregate, and running
+# mean/std value-exactly, at any scale factor, with no seed lists shipped
+# around. Estimator semantics (batching, pooling, normalization) are identical
+# to the RNG paths.
+
+
+def sample_uniform_hash(n: int, k: int, salt: str = "us:") -> np.ndarray:
+    """K5 uniform sampler on the portable hash stream: seed_j = h(salt||j) mod n."""
+    return hash_stream(salt, k) % n
+
+
+def sample_coverage_weighted_hash(
+    graph: GraphFrame,
+    k: int,
+    impl: str = "auto",
+    probe_salt: str = "wp:",
+    draw_salt: str = "wd:",
+) -> np.ndarray:
+    """K4 coverage-weighted sampler on the portable hash stream.
+
+    Probes are hash-uniform; CDF draws are ``h(draw_salt||j) mod maxc + 1``
+    (range [1, maxc] — every draw lands in exactly one CDF interval, so the
+    lower-bound pick is reproducible as a plain interval join in SQL).
+    """
+    probes = sample_uniform_hash(graph.num_nodes, k, probe_salt)
+    return sample_coverage_weighted(
+        graph,
+        k,
+        rng=None,
+        impl=impl,
+        probes=probes,
+        draws_fn=lambda maxc: (hash_stream(draw_salt, k) % maxc) + 1,
+    )
+
+
+def sample_pair_rejection_hash(
+    graph: GraphFrame,
+    k: int,
+    window_factor: int = 100,
+    impl: str = "auto",
+    v_salt: str = "pv:",
+    w_salt: str = "pw:",
+) -> DataFrame:
+    """K3 pair rejection on the portable hash stream (``src/bin/unipairs.rs:72-88``).
+
+    A fixed draw window of ``window_factor·n`` candidate pairs
+    ``(h(pv:j) mod n, h(pw:j) mod n)`` replaces the open-ended rejection loop:
+    acceptance (v ≠ w and w forward-reachable from v) is order-independent, so
+    "first k accepted in j order" is deterministic and SQL-replayable. One
+    multi-source BFS over the distinct drawn sources does all the work.
+
+    Returns (rank, v, dia, dist_sum, reached, ratio) — ratio = dist_sum/reached,
+    the per-source mean the unipairs estimator averages.
+    """
+    n = graph.num_nodes
+    J = window_factor * n
+    v = hash_stream(v_salt, J) % n
+    w = hash_stream(w_salt, J) % n
+    ok = v != w
+    idx = np.nonzero(ok)[0].astype(np.int64)
+    v, w = v[ok], w[ok]
+    uniq = np.unique(v)
+    if _use_csr(graph, impl):
+        cap = bfs_csr(graph, uniq, capture=True).localCheckpoint(eager=True)
+    else:
+        seeds_df = graph.spark.createDataFrame(
+            pd.DataFrame({"seed": uniq}), schema="seed long"
+        )
+        cap = bfs_frontier(graph, seeds_df).filter("dist > 0")
+    stats = cap.groupBy("seed").agg(
+        F.max("dist").alias("dia"),
+        F.sum("dist").alias("dist_sum"),
+        F.count("*").alias("reached"),
+    )
+    pairs = graph.spark.createDataFrame(
+        pd.DataFrame({"j": idx, "seed": v, "w": w}), schema="j long, seed long, w long"
+    )
+    from pyspark.sql.window import Window
+
+    hit = (
+        pairs.join(cap.select("seed", F.col("v").alias("w")).dropDuplicates(), ["seed", "w"])
+        .join(stats, "seed")
+        .withColumn("rank", F.row_number().over(Window.orderBy("j")))
+        .where(F.col("rank") <= k)
+    )
+    got = hit.count()
+    if got < k:
+        raise RuntimeError(
+            f"pair-rejection hash window exhausted: {got}/{k} acceptances in {J} draws "
+            f"(raise window_factor)"
+        )
+    return hit.select(
+        "rank",
+        F.col("seed").alias("v"),
+        "dia",
+        "dist_sum",
+        "reached",
+        F.round(F.col("dist_sum").cast("double") / F.col("reached"), 6).alias("ratio"),
+    )
+
+
+def avgdist_batches(
+    graph: GraphFrame, seeds: np.ndarray, slot: int = 16, impl: str = "auto"
+) -> DataFrame:
+    """The main binary's batch loop (``src/main.rs:151-244``) as ONE declarative
+    plan over an ordered seed list: batch b = draws [b·slot, (b+1)·slot); per
+    batch the pooled (max dia, Σdist, Σreached); running mean/sample-std across
+    batches as window aggregates (A3). Everything is reported in "norm" space
+    (``anorm = Σdist/Σreached = adist·(n−1)``) — a single division, so the
+    DuckDB oracle matches bit-for-bit before rounding.
+
+    Batches with Σreached = 0 contribute no average (reference ``if c > 0``) —
+    their anorm is NULL and window AVG/STDDEV skip them on every engine.
+
+    Returns (batch, size, dia, dist_sum, reached, anorm, mean_norm, std_norm,
+    dia_mean); the running-stats window is a single-partition sort, fine for
+    the O(k/slot) batch rows it ever sees.
+    """
+    from pyspark.sql.window import Window
+
+    seeds = np.asarray(seeds, dtype=np.int64)
+    stats = _seed_stats(graph, np.unique(seeds), impl)  # one row per distinct seed
+    occ = graph.spark.createDataFrame(
+        pd.DataFrame({"j": np.arange(seeds.size, dtype=np.int64), "seed": seeds}),
+        schema="j long, seed long",
+    )
+    per = occ.join(stats, "seed")
+    batches = (
+        per.groupBy(F.floor(F.col("j") / slot).cast("long").alias("batch"))
+        .agg(
+            F.count("*").alias("size"),
+            F.max("dia").alias("dia"),
+            F.sum("dist_sum").alias("dist_sum"),
+            F.sum("reached").alias("reached"),
+        )
+        .withColumn(
+            "anorm",
+            F.when(
+                F.col("reached") > 0,
+                F.round(F.col("dist_sum").cast("double") / F.col("reached"), 6),
+            ),
+        )
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nb = F.count("anorm").over(w)
+    return batches.select(
+        "batch",
+        "size",
+        "dia",
+        "dist_sum",
+        "reached",
+        "anorm",
+        F.round(F.avg("anorm").over(w), 6).alias("mean_norm"),
+        F.when(nb > 1, F.round(F.stddev_samp("anorm").over(w), 6)).alias("std_norm"),
+        F.round(F.avg(F.when(F.col("reached") > 0, F.col("dia"))).over(w), 6).alias("dia_mean"),
+    )
 
 
 # --------------------------------------------------------------------------- unipairs
