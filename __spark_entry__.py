@@ -39,6 +39,12 @@ _DIST_MAX = 12  # oracle BFS closure depth bound; self-checked (errors if hit)
 _NQ, _TOPK = 8, 5  # similarity-query defaults
 _MH_HASHES, _MH_BANDS = 8, 4
 _SH_BITS = 32
+_IVF_C, _IVF_PROBE, _IVF_ITERS = 8, 3, 4  # IVF: centroids / probed clusters / Lloyd iters
+#: embedding dimension contract for SQL-generation-time unrolls (LSH planes,
+#: IVF centroid updates). The Spark side derives dim from the data and asserts
+#: it against this constant — a loud error instead of a silent hash mismatch
+#: if the embeddings table ever changes shape.
+_EMB_DIM = 64
 _SAMP_EPS, _SAMP_SLOT = 0.2, 16  # sampled-estimator defaults (k = ceil(log2 n / 2eps²))
 _PAIR_EPS, _PAIR_WINDOW = 0.3, 100  # pair-rejection: k at eps, draw window = 100·n
 
@@ -55,6 +61,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+
+
+def _emb_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the dimension contract enforced: the oracle's planes /
+    centroid unrolls are generated for _EMB_DIM, so a different data dim must
+    fail loudly here, not as a spurious hash mismatch downstream."""
+    emb = _emb(spark, sf_dir)
+    first = emb.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        raise ValueError(f"embeddings table at {sf_dir} is empty")
+    if int(first["d"]) != _EMB_DIM:
+        raise ValueError(
+            f"embeddings dim {first['d']} != oracle contract _EMB_DIM={_EMB_DIM}"
+        )
+    return emb
 
 
 def event_edges(events: DataFrame) -> DataFrame:
@@ -374,7 +395,7 @@ def _q_cosine_topk(spark, sf):
 def _q_lsh_ann(spark, sf):
     from avgdist_rs_spark.operators.similarity import lsh_ann
 
-    return lsh_ann(_emb(spark, sf), k=_TOPK, num_queries=_NQ, num_planes=6, seed=42).select(
+    return lsh_ann(_emb_checked(spark, sf), k=_TOPK, num_queries=_NQ, num_planes=6, seed=42).select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
         F.col("rank").cast("long"),
@@ -383,11 +404,15 @@ def _q_lsh_ann(spark, sf):
 
 
 def _q_ivf_ann(spark, sf):
-    """IVF ANN (KMeans routing) — non-SQL (ML model), rows-only check."""
+    """IVF ANN: deterministic portable Lloyd clustering + nprobe routing —
+    the whole path (init ranks, assignments, routing, top-k) is value-exact
+    against the unrolled SQL oracle."""
     from avgdist_rs_spark.operators.similarity import ivf_ann
 
+    emb = _emb_checked(spark, sf)
     return ivf_ann(
-        _emb(spark, sf), k=_TOPK, num_queries=_NQ, num_centroids=8, nprobe=3, seed=42
+        emb, k=_TOPK, num_queries=_NQ, num_centroids=_IVF_C, nprobe=_IVF_PROBE,
+        iterations=_IVF_ITERS,
     ).select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
@@ -399,7 +424,9 @@ def _q_ivf_ann(spark, sf):
 def _q_emb_near_dup(spark, sf):
     from avgdist_rs_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_emb(spark, sf), threshold=0.4, num_planes=8, seed=42).select(
+    return embedding_near_dup_pairs(
+        _emb_checked(spark, sf), threshold=0.4, num_planes=8, seed=42
+    ).select(
         F.col("a").cast("long"), F.col("b").cast("long"), "sim"
     )
 
@@ -874,7 +901,7 @@ SELECT id, CASE {cases} ELSE 'und' END AS lang_pred, round(best, 6) AS hit_ratio
 """
 
 
-def _planes_sql_literals(num_planes: int = 6, dim: int = 64, seed: int = 42) -> list[str]:
+def _planes_sql_literals(num_planes: int = 6, dim: int = _EMB_DIM, seed: int = 42) -> list[str]:
     from avgdist_rs_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(num_planes, dim, seed=seed)
@@ -938,6 +965,77 @@ SELECT x.id::BIGINT AS a, y.id::BIGINT AS b,
 FROM sig x JOIN sig y USING (bucket)
 WHERE x.id < y.id AND round({_cosine_expr('x.v', 'y.v')}, 4) >= 0.4
 """
+
+
+def _ivf_ann_sql() -> str:
+    """Unrolled deterministic Lloyd (mirrors similarity.kmeans_lloyd) + IVF
+    routing + per-cluster top-k. Distances are the same sequential fold as the
+    Spark side; centroid means are rounded to 6 on both sides, pinning the
+    fixpoint across engines."""
+    C, P, T, dim = _IVF_C, _IVF_PROBE, _IVF_ITERS, _EMB_DIM
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+        )
+
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        (
+            "c0 AS MATERIALIZED (SELECT cid, cv FROM ("
+            "SELECT (row_number() OVER (ORDER BY "
+            "('0x' || substr(md5('km:' || vec_id::VARCHAR), 1, 15))::BIGINT, vec_id) - 1)"
+            "::INT AS cid, v AS cv FROM e)"
+            f" WHERE cid < {C})"
+        ),
+    ]
+    for t in range(1, T + 1):
+        p = t - 1
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, v, cid FROM ("
+            f"SELECT e.vec_id, e.v, c.cid, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn "
+            f"FROM e CROSS JOIN c{p} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT cid, i, round(avg(v[i]), 6) AS m "
+            f"FROM a{t}, (SELECT unnest(generate_series(1, {dim})) AS i) d "
+            f"GROUP BY cid, i)"
+        )
+        parts.append(
+            f"cn{t} AS (SELECT cid, list(m ORDER BY i) AS cv FROM m{t} GROUP BY cid)"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT p.cid, coalesce(n.cv, p.cv) AS cv "
+            f"FROM c{p} p LEFT JOIN cn{t} n USING (cid))"
+        )
+    parts.append(
+        f"af AS MATERIALIZED (SELECT vec_id, v, cid FROM ("
+        f"SELECT e.vec_id, e.v, c.cid, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn "
+        f"FROM e CROSS JOIN c{T} c) WHERE rn = 1)"
+    )
+    parts.append(f"q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_NQ})")
+    parts.append(
+        f"pr AS (SELECT qid, qv, cid FROM ("
+        f"SELECT q.qid, q.qv, c.cid, row_number() OVER ("
+        f"PARTITION BY q.qid ORDER BY {d2('q.qv', 'c.cv')}, c.cid) AS rn "
+        f"FROM q CROSS JOIN c{T} c) WHERE rn <= {P})"
+    )
+    parts.append(
+        f"s AS (SELECT pr.qid, a.vec_id AS nid, {_cosine_expr('pr.qv', 'a.v')} AS sim_raw "
+        f"FROM pr JOIN af a ON a.cid = pr.cid WHERE a.vec_id <> pr.qid)"
+    )
+    parts.append(
+        "r AS (SELECT qid, nid, sim_raw, row_number() OVER ("
+        "PARTITION BY qid ORDER BY sim_raw DESC, nid ASC) AS rnk FROM s)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT qid AS query_id, nid AS neighbor_id, rnk::BIGINT AS rank, "
+        f"round(sim_raw, 4) AS sim FROM r WHERE rnk <= {_TOPK}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1069,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_cosine_topk": _cosine_topk_sql(),
         "emb_lsh_ann": _lsh_ann_sql(),
+        "emb_ivf_ann": _ivf_ann_sql(),
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "events_session_stats": (
             "WITH lagged AS (SELECT event_id, user_id, ts, "
@@ -1091,7 +1190,9 @@ def oracle_sql() -> dict[str, str]:
             "min(octet_length(encode(text)))::BIGINT AS min_bytes, "
             "max(octet_length(encode(text)))::BIGINT AS max_bytes FROM documents"
         ),
-        # media_features, emb_ivf_ann: non-SQL (sha256 UDF / ML model)
-        # → rows-only check by design.
+        "media_features": (
+            "SELECT doc_id::BIGINT AS media_id, substr(sha256(text), 1, 16) AS digest, "
+            "octet_length(encode(text))::BIGINT AS n_bytes FROM documents"
+        ),
     }
     return sql

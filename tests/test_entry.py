@@ -71,4 +71,4 @@ def test_all_queries_have_oracle_or_documented_omission():
     os_ = set(ORACLES)
     assert os_ <= qs
     omitted = qs - os_
-    assert omitted == {"media_features", "emb_ivf_ann"}
+    assert omitted == set()  # every query is value-verified against DuckDB

@@ -216,7 +216,7 @@ def test_ivf_ann_recall_and_shape(spark):
         "vec_id long, embedding array<double>",
     )
     exact = cosine_topk(df, k=5, num_queries=4).toPandas()
-    approx = ivf_ann(df, k=5, num_queries=4, num_centroids=8, nprobe=3, seed=1).toPandas()
+    approx = ivf_ann(df, k=5, num_queries=4, num_centroids=8, nprobe=3).toPandas()
     assert set(approx.columns) == {"query_id", "neighbor_id", "rank", "sim"}
     # on blob data with nprobe=3 of 8 clusters, recall@5 should be high
     recall = 0.0
@@ -226,7 +226,7 @@ def test_ivf_ann_recall_and_shape(spark):
         recall += len(e & a) / len(e)
     assert recall / 4 >= 0.8
     # full probe recovers exact brute force
-    full = ivf_ann(df, k=5, num_queries=4, num_centroids=8, nprobe=8, seed=1).toPandas()
+    full = ivf_ann(df, k=5, num_queries=4, num_centroids=8, nprobe=8).toPandas()
     pd.testing.assert_frame_equal(
         full.sort_values(["query_id", "rank"]).reset_index(drop=True),
         exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
