@@ -49,7 +49,7 @@ def k_formula(n: int, eps: float) -> int:
 def _use_csr(graph: GraphFrame, impl: str) -> bool:
     if impl == "csr":
         return True
-    if impl == "frontier":
+    if impl in ("frontier", "shards"):
         return False
     return graph.num_edges <= DEFAULT_CSR_MAX_EDGES
 
@@ -72,7 +72,9 @@ def _seed_stats(graph: GraphFrame, seeds: np.ndarray, impl: str,
         seeds_df = graph.spark.createDataFrame(
             pd.DataFrame({"seed": uniq}), schema="seed long"
         )
-        stats = per_seed_stats(bfs_frontier(graph, seeds_df, transposed=transposed))
+        stats = per_seed_stats(
+            bfs_frontier(graph, seeds_df, transposed=transposed, shards=impl == "shards")
+        )
     occ = graph.spark.createDataFrame(
         pd.DataFrame({"seed": seeds}), schema="seed long"
     )

@@ -263,6 +263,62 @@ def bfs_csr(
 
 
 # --------------------------------------------------------------------------- DF superstep loop
+def _shard_gather(graph: GraphFrame, transposed: bool):
+    """Returns expand(frontier) → (seed, v) using co-grouped CSR-shard gathers.
+
+    The superstep's successor scan becomes: bucket the frontier by vertex
+    range, co-group it with the persisted shard table (both sides hash on
+    ``bucket`` — the big shard rows move once at build time, every superstep
+    only shuffles the frontier), then a vectorized numpy gather per bucket.
+    The adjacency never transits the driver and never broadcasts — this is
+    the CSR strategy that survives past ``DEFAULT_CSR_MAX_EDGES``.
+    """
+    shards = graph.csr_shards(transposed=transposed)
+    bsz = graph.shard_bucket_size()
+    n = graph.num_nodes
+    tdt = np.int32 if n < 2**31 else np.int64
+
+    def gather(key, fdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"seed": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
+        )
+        if fdf.empty or sdf.empty:
+            return empty
+        offsets = np.frombuffer(sdf["offsets"].iloc[0], dtype=np.int64)
+        targets = np.frombuffer(sdf["targets"].iloc[0], dtype=tdt)
+        vlo = int(sdf["vlo"].iloc[0])
+        v = fdf["v"].to_numpy(dtype=np.int64) - vlo
+        starts = offsets[v]
+        counts = offsets[v + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        idx = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        idx += np.arange(total, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "seed": np.repeat(fdf["seed"].to_numpy(dtype=np.int64), counts),
+                "v": targets[idx].astype(np.int64),
+            }
+        )
+
+    def expand(frontier: DataFrame) -> DataFrame:
+        fb = frontier.withColumn("bucket", F.floor(F.col("v") / bsz).cast("long"))
+        # only the buckets the frontier actually touches transit the Python
+        # worker: broadcast the (tiny) distinct bucket set and semi-join the
+        # shard table before co-grouping. Narrow frontiers → near-constant
+        # superstep cost; a full frontier degrades gracefully to all shards.
+        touched = fb.select("bucket").distinct()
+        sh = shards.join(F.broadcast(touched), "bucket", "left_semi")
+        return (
+            fb.groupBy("bucket")
+            .cogroup(sh.groupBy("bucket"))
+            .applyInPandas(gather, schema="seed long, v long")
+        )
+
+    return expand
+
+
 def bfs_frontier(
     graph: GraphFrame,
     seeds: DataFrame,
@@ -273,6 +329,7 @@ def bfs_frontier(
     num_salts: int | None = None,
     hub_df: DataFrame | None = None,
     resume: bool = False,
+    shards: bool = False,
 ) -> DataFrame:
     """Distributed multi-source BFS: returns ``visited(seed, v, dist)`` including
     the (seed, seed, 0) rows. ``seeds`` must have a single long column ``seed``.
@@ -280,6 +337,12 @@ def bfs_frontier(
     All k BFS trees advance in ONE join per superstep (batched, not task-per-seed):
     the frontier is keyed (seed, v), the edge side keeps its stable hash
     partitioning on src so the join only shuffles the frontier.
+
+    ``shards=True`` swaps the per-superstep edge join for the distributed-CSR
+    gather (:func:`_shard_gather`): successor scans become per-bucket numpy
+    gathers against the persisted shard table — no driver materialization, no
+    broadcast, identical results (tested). The dedup/anti-join/checkpoint
+    discipline is shared by all three expansion strategies.
 
     ``resume=True`` with a durable checkpointer restarts from the latest
     checkpointed superstep (north rule: any BFS superstep is resumable) — the
@@ -291,6 +354,7 @@ def bfs_frontier(
     # disjoint column names: the frontier is itself derived from edge joins, and
     # Spark's ambiguous-self-join analysis would otherwise reject superstep ≥ 2
     edges = base.select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+    shard_expand = _shard_gather(graph, transposed) if shards else None
     salted = None
     if num_salts and num_salts > 1:
         # explicit hub-skew salting (north rule): split hot adjacency across
@@ -338,6 +402,8 @@ def bfs_frontier(
             from ..functions.salting import salted_expand
 
             expanded = salted_expand(frontier, salted, hdf, num_salts)
+        elif shard_expand is not None:
+            expanded = shard_expand(frontier)
         else:
             expanded = frontier.join(edges, F.col("v") == F.col("_esrc")).select(
                 F.col("seed"), F.col("_edst").alias("v")

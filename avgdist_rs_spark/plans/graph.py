@@ -16,20 +16,28 @@ Spark-first re-expression:
 - ``nodes(id long, orig string)``: dense-id mapping, the analog of ``*.nodes``
   side files (reference ``data/github/github.nodes``). Dense ids are required for the
   numpy/bitset BFS kernels.
-- A broadcast CSR fast path for graphs whose adjacency fits in executor memory:
-  two int64/int32 numpy arrays (offsets, targets) — the moral equivalent of
-  BVGraph+Elias-Fano random access (reference ``README.md:58-81``), shipped once per
-  executor via ``SparkContext.broadcast``. At 2.16e9 edges (the reference's payment
-  graph) this is ~10 GB — inside one executor's memory; beyond that the pure
-  DataFrame superstep path takes over.
+- A broadcast CSR fast path for graphs whose adjacency fits comfortably through
+  the driver and in every executor: two int64/int32 numpy arrays (offsets,
+  targets) — the moral equivalent of BVGraph+Elias-Fano random access
+  (reference ``README.md:58-81``), shipped once per executor via
+  ``SparkContext.broadcast``. Gated at ``operators.bfs.DEFAULT_CSR_MAX_EDGES``
+  (2e8 edges ≈ 2.4 GB of arrays — a deliberate driver-heap ceiling, NOT the
+  2.16e9-edge payment-graph scale).
+- **CSR shards** (``csr_shards``): the distributed form — per-vertex-range CSR
+  blocks built executor-side with ``applyInPandas`` and kept as a persisted
+  DataFrame of binary columns. Nothing ever materializes on the driver, so
+  this is the path that covers the payment-graph scale and beyond; BFS gathers
+  against the shards with a co-grouped pandas kernel (``operators.bfs``).
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -215,10 +223,16 @@ class GraphFrame:
 
     # ------------------------------------------------------------- CSR broadcast
     def _collect_pairs(self, transposed: bool) -> np.ndarray:
+        # Arrow collect, not toPandas: no pandas object materialization, the
+        # int64 buffers convert zero-copy — roughly halves the driver-side
+        # footprint of the (gated) broadcast-CSR build.
         df = self.edges_t if transposed else self.edges
-        pdf = df.toPandas()
+        tbl = df.select("src", "dst").toArrow()
         return np.column_stack(
-            [pdf["src"].to_numpy(dtype=np.int64), pdf["dst"].to_numpy(dtype=np.int64)]
+            [
+                tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False),
+                tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False),
+            ]
         )
 
     def csr_broadcast(self, transposed: bool = False):
@@ -234,6 +248,65 @@ class GraphFrame:
             setattr(self, attr, bc)
         return bc
 
+    # ------------------------------------------------------------- CSR shards
+    def shard_bucket_size(self, buckets_per_partition: int = 4) -> int:
+        """Vertex-range width of one CSR shard: ~``buckets_per_partition``
+        shards per shuffle partition — small enough that one hot range does
+        not serialize a stage, large enough that shard rows stay chunky."""
+        p = _num_partitions_for(self.spark)
+        return max(1, math.ceil(self.num_nodes / (buckets_per_partition * p)))
+
+    def csr_shards(self, transposed: bool = False, bucket_size: int | None = None) -> DataFrame:
+        """Distributed CSR: one row per vertex-range bucket, built executor-side.
+
+        ``(bucket, vlo, offsets binary, targets binary)`` where
+        ``offsets``/``targets`` are packed numpy buffers (int64 offsets;
+        int32 targets when ids fit — same compression rule as the broadcast
+        path). The full edge list NEVER visits the driver: the build is one
+        shuffle (groupBy bucket) + a per-group pandas kernel, and the result
+        is a persisted DataFrame whose rows live on executors. This is the
+        CSR that scales past ``DEFAULT_CSR_MAX_EDGES`` — the 2.16e9-edge
+        payment-graph regime and the 10^12-turn north star.
+        """
+        attr = "_shards_bwd" if transposed else "_shards_fwd"
+        cached = getattr(self, attr, None)
+        if cached is not None:
+            return cached
+        df = self.edges_t if transposed else self.edges
+        bsz = bucket_size or self.shard_bucket_size()
+        n = self.num_nodes
+        tdt = "int32" if n < 2**31 else "int64"
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            bkt = int(pdf["bucket"].iloc[0])
+            vlo = bkt * bsz
+            nvb = min(bsz, n - vlo)
+            src = pdf["src"].to_numpy(dtype=np.int64) - vlo
+            dst = pdf["dst"].to_numpy(dtype=np.int64)
+            order = np.lexsort((dst, src))
+            src, dst = src[order], dst[order]
+            counts = np.bincount(src, minlength=nvb)
+            offsets = np.zeros(nvb + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            return pd.DataFrame(
+                {
+                    "bucket": [bkt],
+                    "vlo": [vlo],
+                    "offsets": [offsets.tobytes()],
+                    "targets": [dst.astype(tdt).tobytes()],
+                }
+            )
+
+        shards = (
+            df.withColumn("bucket", F.floor(F.col("src") / bsz).cast("long"))
+            .groupBy("bucket")
+            .applyInPandas(build, "bucket long, vlo long, offsets binary, targets binary")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        shards.count()
+        setattr(self, attr, shards)
+        return shards
+
     def unpersist(self) -> None:
         self.edges.unpersist()
         self.edges_t.unpersist()
@@ -243,4 +316,9 @@ class GraphFrame:
             bc = getattr(self, attr)
             if bc is not None:
                 bc.unpersist()
+                setattr(self, attr, None)
+        for attr in ("_shards_fwd", "_shards_bwd"):
+            df = getattr(self, attr, None)
+            if df is not None:
+                df.unpersist()
                 setattr(self, attr, None)
