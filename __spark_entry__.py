@@ -282,6 +282,22 @@ def _q_harmonic_histogram(spark, sf):
     )
 
 
+def _q_closeness_histogram(spark, sf):
+    """A8 members variant: node ids grouped per centrality bucket, sorted —
+    the reference closeness output shape (closeness.rs:231-242)."""
+    from avgdist_rs_spark.operators.centrality import centrality_histogram, closeness_centrality
+
+    g = _graph(spark, sf)
+    c = closeness_centrality(g, exact=True)
+    co = _orig(g, c, ["v"])
+    h = centrality_histogram(co, "closeness", bucket_scale=1e12, members=True)
+    return h.select(
+        F.col("bucket").cast("long"),
+        F.col("cnt").cast("long"),
+        F.array_join("members", ",").alias("members"),
+    )
+
+
 def _q_reach_counts(spark, sf):
     from avgdist_rs_spark.operators.bfs import bfs_csr
 
@@ -550,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_reach_counts": _q_reach_counts,
         "eg_simple_paths": _q_simple_paths,
         "eg_harmonic_histogram": _q_harmonic_histogram,
+        "eg_closeness_histogram": _q_closeness_histogram,
         "eg_avgdist_sampled": _q_avgdist_sampled,
         "eg_avgdist_weighted": _q_avgdist_weighted,
         "eg_avgdist_pairs": _q_avgdist_pairs,
@@ -1110,6 +1127,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM mind GROUP BY w) "
             "SELECT floor(harmonic * 1000000000.0)::BIGINT AS bucket, "
             "count(*)::BIGINT AS cnt FROM h GROUP BY 1"
+        ),
+        "eg_closeness_histogram": (
+            f"WITH RECURSIVE {_EG}, {_NN}, {_MIND}, "
+            "cl AS (SELECT w AS v, 1.0 / (sum(d) * (SELECT n FROM nn)) AS c "
+            "FROM mind GROUP BY w) "
+            "SELECT floor(c * 1000000000000.0)::BIGINT AS bucket, "
+            "count(*)::BIGINT AS cnt, "
+            "array_to_string(list_sort(list(v)), ',') AS members "
+            "FROM cl GROUP BY 1"
         ),
         "eg_avgdist_sampled": _avgdist_sampled_sql(),
         "eg_avgdist_weighted": _avgdist_weighted_sql(),

@@ -137,11 +137,23 @@ def closeness_k(eps: float) -> int:
     return math.ceil(6.907 / (2.0 * eps * eps))
 
 
-def centrality_histogram(scores: DataFrame, col: str, bucket_scale: float = 1e9) -> DataFrame:
-    """(bucket, cnt) with bucket = floor(score·scale), descending (A8/O1)."""
+def centrality_histogram(
+    scores: DataFrame, col: str, bucket_scale: float = 1e9, members: bool = False
+) -> DataFrame:
+    """(bucket, cnt[, members]) with bucket = floor(score·scale), descending (A8/O1).
+
+    ``members=True`` adds the sorted vertex-id list per bucket — the
+    reference's closeness output groups node ids by bucket
+    (``src/bin/closeness.rs:231-242``); sorting makes the list deterministic
+    for exact-match testing. Note the list concentrates a bucket's vertices
+    onto one row — at 10^9 vertices use the count variant (or a top-k per
+    bucket) unless buckets are known to be small."""
+    aggs = [F.count("*").alias("cnt")]
+    if members:
+        aggs.append(F.array_sort(F.collect_list("v")).alias("members"))
     return (
         scores.groupBy(F.floor(F.col(col) * F.lit(bucket_scale)).alias("bucket"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(*aggs)
         .orderBy(F.desc("bucket"))
     )
 

@@ -41,7 +41,15 @@ def read_table(spark: SparkSession, source: str) -> DataFrame:
     anything else as a Parquet location — so the same entry point serves the
     sandbox (driver-generated parquet) and a production Iceberg warehouse.
     """
-    looks_like_table = ("/" not in source) and ("\\" not in source) and ("." in source)
+    # an existing local file/dir or an explicit parquet name is always a path —
+    # without this, a relative 'data.parquet' would be misread as catalog.table
+    looks_like_table = (
+        ("/" not in source)
+        and ("\\" not in source)
+        and ("." in source)
+        and not source.endswith(".parquet")
+        and not os.path.exists(source)
+    )
     if looks_like_table:
         if not iceberg_available(spark):
             raise RuntimeError(

@@ -87,17 +87,44 @@ def windowed_event_counts(
     )
 
 
-def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    drop_late: bool = True,
+    state_timeout_minutes: int | None = None,
+) -> DataFrame:
     """Stateful streaming sessionization: same semantics as the batch
     ``operators.sessions.sessionize`` (gap > ``gap_minutes`` → new session),
     state = (last event time, session counter, turn counter) per user.
+
+    **Ordering contract**: results equal the batch sessionize only when each
+    user's events arrive in event-time order ACROSS micro-batches (within a
+    batch we sort). An event older than the user's state (``ts < last_ts``)
+    cannot be assigned retroactively in append mode; with ``drop_late=True``
+    (default) it is dropped — the streaming analog of a watermark — instead of
+    the silent failure mode the naive formulation has (negative gap extends
+    the current session and moves ``last_ts`` backwards).
+
+    ``state_timeout_minutes`` bounds state at scale: a user idle that long (in
+    processing time) has their state evicted — the next event simply starts a
+    fresh session numbering epoch, which is exactly what the gap rule would do
+    anyway for any gap beyond the timeout. Without it, per-user state grows
+    with the user universe forever.
     """
     gap_s = gap_minutes * 60
+    timeout_ms = None if state_timeout_minutes is None else state_timeout_minutes * 60_000
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
 
     def assign(
         key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             last_ts, sess, turn = state.get
         else:
@@ -105,22 +132,28 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])  # event-time order in batch
         ts_s = (batch["ts"].astype("int64") // 1_000_000_000).to_numpy()
-        out_sess, out_turn = [], []
-        for t in ts_s:
+        out_id, out_sess, out_turn = [], [], []
+        for eid, t in zip(batch["event_id"].to_numpy(), ts_s):
+            if drop_late and last_ts is not None and t < last_ts:
+                continue  # late arrival: see ordering contract above
             if last_ts is None or (t - last_ts) > gap_s:
                 sess += 1
                 turn = 0
             else:
                 turn += 1
+            out_id.append(eid)
             out_sess.append(sess)
             out_turn.append(turn)
             last_ts = int(t)
-        state.update((last_ts, int(sess), int(turn)))
+        if out_id:
+            state.update((last_ts, int(sess), int(turn)))
+        if timeout_ms is not None and state.exists:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
-                "event_id": batch["event_id"].to_numpy(),
+                "event_id": pd.array(out_id, dtype="int64"),
                 "user_id": user_id,
-                "session_idx": out_sess,
+                "session_idx": pd.array(out_sess, dtype="int64"),
                 "turn_idx": pd.array(out_turn, dtype="int32"),
             }
         )
@@ -130,7 +163,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

@@ -80,6 +80,64 @@ def test_harmonic_matches_law_external_oracle(spark):
     g.unpersist()
 
 
+def test_closeness_and_nieminen_match_law_goldens(spark):
+    """wiki.closeness / wiki.nieminen — the two LAW golden arrays the
+    reference ships that round 1 left unused.
+
+    Decoded semantics (verified empirically against the arrays): on incoming
+    paths (our transposed BFS), closeness = 1/Σd printed at 3 decimals
+    (0.000 for the large-Σd core), nieminen = reach² − Σd with reach
+    including the vertex itself (isolated ⇒ 1² − 0 = 1.000, as the file
+    shows). Both are HyperBall approximations, so the gate is approximation
+    error, as with the harmonic/lin tests.
+    """
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from avgdist_rs_spark.operators.bfs import bfs_csr
+
+    base = "/root/reference/data/wikipedia-vote-network"
+    if not os.path.exists(f"{base}/wiki.closeness"):
+        pytest.skip("reference golden not present")
+    law_nodes = [int(x) for x in open(f"{base}/wiki.nodes").read().split()]
+    law_clo = np.array(json.loads(open(f"{base}/wiki.closeness").read()))
+    law_nie = np.array(json.loads(open(f"{base}/wiki.nieminen").read()))
+    edges = spark.read.csv(f"{base}/wiki.csv", schema="src string, dst string")
+    g = GraphFrame.from_any_edges(edges)
+    orig2dense = {r["orig"]: r["id"] for r in g.nodes.collect()}
+    law2our = np.array([orig2dense[str(o)] for o in law_nodes], dtype=np.int64)
+
+    import numpy as np
+
+    cap = bfs_csr(g, np.arange(g.num_nodes, dtype=np.int64), transposed=True, capture=True)
+    agg = cap.groupBy("v").agg(F.sum("dist").alias("ds"), F.count("*").alias("rc")).toPandas()
+    ds = np.zeros(g.num_nodes)
+    rc = np.zeros(g.num_nodes)
+    ds[agg["v"].to_numpy()] = agg["ds"].to_numpy()
+    rc[agg["v"].to_numpy()] = agg["rc"].to_numpy()
+    m = min(len(law_clo), len(law2our))
+    my_ds, my_rc = ds[law2our][:m], rc[law2our][:m]
+
+    with np.errstate(divide="ignore"):
+        my_clo = np.where(my_ds > 0, 1.0 / my_ds, 0.0)
+    nz = law_clo[:m] > 0
+    diff = np.abs(my_clo[nz] - law_clo[:m][nz])
+    assert (diff > 2e-3).sum() <= 2  # 3dp print + lone truncated-golden artifact
+    assert np.median(diff) < 1e-3
+    # the golden's zeros are exactly the 3dp-rounding of large-Σd values
+    assert (np.round(my_clo[~nz], 3) != 0).sum() == 0
+
+    my_nie = (my_rc + 1.0) ** 2 - my_ds  # reach includes self
+    nie = law_nie[:m]
+    big = nie > 1.0
+    rel = np.abs(my_nie[big] - nie[big]) / nie[big]
+    assert rel.mean() < 0.01 and np.quantile(rel, 0.99) < 0.05
+    assert np.array_equal(nie == 1.0, my_nie == 1.0)  # isolated vertices exact
+    g.unpersist()
+
+
 def test_distance_sums_and_reach_match_law_goldens(spark):
     """Per-vertex Σdist and reachable-set size vs wiki.sum_of_distances /
     wiki.reachable_nodes / wiki.lin (HyperBall approximations; LAW's reach

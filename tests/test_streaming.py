@@ -73,6 +73,39 @@ def test_stateful_sessionize_matches_batch(spark, stream_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_stateful_sessionize_drops_late_events(spark, tmp_path):
+    """An event older than the user's state (out-of-order ACROSS micro-batches)
+    is dropped, not silently folded into the current session with a negative
+    gap — the documented ordering contract."""
+    import datetime as dt
+
+    d = str(tmp_path / "late_src")
+    os.makedirs(d, exist_ok=True)
+
+    def mk(rows, sub):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [dt.datetime(2024, 1, 1, 0, 0, r[1]) for r in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(os.path.join(d, sub))
+
+    mk([(10, 40), (11, 50)], "batch=0")  # state advances to t=50
+    time.sleep(1.1)
+    mk([(12, 20), (13, 55)], "batch=1")  # event 12 is LATE (t=20 < 50)
+
+    s = stream_events(spark, f"{d}/batch=*", max_files_per_trigger=1)
+    run_available_now(sessionize_stream(s), "late_sessions", "append")
+    got = spark.table("late_sessions").toPandas().set_index("event_id").sort_index()
+    assert list(got.index) == [10, 11, 13]  # 12 dropped
+    assert list(got["turn_idx"]) == [0, 1, 2]  # 13 continues the session
+
+
 def test_stateful_state_survives_query_restart(spark, tmp_path):
     """Restart from checkpointLocation: the second run processes ONLY the new
     micro-batch, with per-user session state carried over — its output equals
