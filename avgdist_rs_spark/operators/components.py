@@ -27,26 +27,36 @@ from ..plans.graph import GraphFrame
 from ..streaming.superstep import Checkpointer, SuperstepMetrics
 
 
+#: supersteps of plain hash-min before "auto" shortcut enables pointer jumping
+AUTO_SHORTCUT_AFTER = 4
+
+
 def connected_components(
     graph: GraphFrame,
     max_supersteps: int = 200,
     checkpointer: Checkpointer | None = None,
     metrics: SuperstepMetrics | None = None,
-    shortcut: bool = True,
+    shortcut: bool | str = "auto",
 ) -> DataFrame:
     """(v, component) where component = min vertex id reachable undirected.
 
-    Pointer jumping (``shortcut``, DEFAULT) — after taking the neighbor
-    minimum, every vertex also adopts its current label's label
+    Pointer jumping (``shortcut``) — after taking the neighbor minimum, every
+    vertex also adopts its current label's label
     (``component ← label(component)``). Labels then travel 2^k hops in k
     supersteps instead of k hops, turning O(diameter) convergence into
     O(log diameter) — the north star is explicitly *large-diameter* graphs
     (the reference's payment graph shows ~24k-hop chains,
     ``results/bit-count.txt``), where plain hash-min would need tens of
-    thousands of supersteps and pointer jumping needs ~15. Cost: one extra
-    self-join of the (small) label table per superstep — irrelevant next to
-    the edge join. ``shortcut=False`` keeps the textbook hash-min for
-    equivalence testing; both converge to the identical exact labeling.
+    thousands of supersteps. Cost: one extra self-join of the (small) label
+    table per superstep.
+
+    The DEFAULT ``"auto"`` pays that cost only when it matters: plain
+    hash-min for the first ``AUTO_SHORTCUT_AFTER`` supersteps (the
+    short-diameter web/social regime converges before jumping would help),
+    then pointer jumping from superstep 5 on — a 10^4-hop chain finishes in
+    ~16 supersteps total (benchmarked), a diameter-≤4 session graph never
+    pays the extra join. ``True``/``False`` force either mode; all three
+    converge to the identical exact labeling (tested).
 
     Change detection rides the label update itself: the old component is
     carried through the superstep and a single aggregate over the (already
@@ -87,7 +97,8 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        if shortcut:
+        jump = shortcut is True or (shortcut == "auto" and it > AUTO_SHORTCUT_AFTER)
+        if jump:
             # pointer jump: component ← label(component). The label table is
             # the (small) per-vertex state, self-joined on the label key.
             parent = stepped.select(

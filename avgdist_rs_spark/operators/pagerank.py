@@ -55,6 +55,11 @@ def pagerank(
         .persist()
     )
     norm_edges.count()
+    # one upfront sink probe: a sink-free graph has zero dangling mass every
+    # superstep, so the per-superstep scalar collect can be skipped entirely
+    has_dangling = (
+        graph.edges.select(F.countDistinct("src").alias("d")).collect()[0]["d"] < n
+    )
 
     start_iter = 0
     ranks: DataFrame | None = None
@@ -80,8 +85,11 @@ def pagerank(
         # its rank fully (Σ_v contrib(v) = Σ_{u: outdeg>0} rank(u)) and Σ rank
         # is 1 by construction — saves the anti-join + extra ranks scan per
         # superstep; the SQL oracle mirrors this expression exactly.
-        contrib_total = contrib.agg(F.sum("c")).collect()[0][0] or 0.0
-        dangling = 1.0 - contrib_total
+        if has_dangling:
+            contrib_total = contrib.agg(F.sum("c")).collect()[0][0] or 0.0
+            dangling = 1.0 - contrib_total
+        else:
+            dangling = 0.0
         base = (1.0 - damping) / n + damping * dangling / n
         new_ranks = (
             graph.vertices()

@@ -1,19 +1,27 @@
 """Headline benchmark suite. Prints ONE JSON line.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (default 32).
+     SPARK_GRAFT_CPUS   (default 32),
+     SPARK_GRAFT_RUNS   (default 1) — run the whole suite N times and report
+     per-query MEDIANS (the committed BENCH.md headline is runs=3 of exactly
+     this command, so the driver's single run and the headline are the same
+     measurement up to shared-box noise).
 
 Covers the north-rule workloads (graph build, PageRank supersteps, connected
-components, label propagation, the avgdist sampling estimator, multi-source
-BFS) and the training-data pipeline heavies (MinHash-LSH dedup, SimHash,
-cosine top-k, sessionization). ``supersteps_per_min`` is reported for the
-iterative kernels — the reference's throughput metric (BASELINE.md).
+components — including a 10k-vertex chain exercising the pointer-jumping
+O(log diameter) path — label propagation, the avgdist sampling estimator,
+multi-source BFS on both the broadcast-CSR and the distributed-shard
+strategies) and the training-data pipeline heavies (MinHash-LSH dedup,
+bucketed SimHash pairs, cosine top-k, IVF ANN, sessionization).
+``supersteps_per_min`` is reported for the iterative kernels — the
+reference's throughput metric (BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,35 +30,25 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"avgdist-rs-spark-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
+def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     import __spark_entry__ as em
     from pyspark.sql import functions as F
+
     from avgdist_rs_spark.operators.avgdist import avgdist_main
-    from avgdist_rs_spark.operators.bfs import bfs_csr
+    from avgdist_rs_spark.operators.bfs import bfs_csr, bfs_frontier, per_seed_stats
     from avgdist_rs_spark.operators.components import connected_components
-    from avgdist_rs_spark.operators.dedup import minhash_lsh_pairs, simhash
+    from avgdist_rs_spark.operators.dedup import minhash_lsh_pairs, simhash, simhash_pairs
     from avgdist_rs_spark.operators.labelprop import label_propagation
     from avgdist_rs_spark.operators.pagerank import pagerank
     from avgdist_rs_spark.operators.sessions import session_stats
-    from avgdist_rs_spark.operators.similarity import cosine_topk
+    from avgdist_rs_spark.operators.similarity import (
+        cosine_topk,
+        embedding_near_dup_pairs,
+        ivf_ann,
+    )
+    from avgdist_rs_spark.operators.simpath import simple_paths_edges
     from avgdist_rs_spark.operators.triangles import triangle_count
+    from avgdist_rs_spark.plans.graph import GraphFrame
     from avgdist_rs_spark.streaming.superstep import SuperstepMetrics
 
     timings: dict[str, float] = {}
@@ -77,6 +75,25 @@ def main() -> None:
     extras["cc_supersteps"] = cc_met.total_supersteps
     extras["cc_supersteps_per_min"] = round(cc_met.supersteps_per_min(), 2)
 
+    # large-diameter showcase (the north star's regime): a 10k-hop chain.
+    # Plain hash-min needs 10^4 supersteps; pointer jumping converges in
+    # O(log diameter) ≈ 15 — the difference between hours and seconds at the
+    # reference's 24k-hop payment-graph chains.
+    def cc_chain():
+        nch = 10_000
+        chain_edges = spark.range(nch - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        cg = GraphFrame.from_edges(chain_edges, num_nodes=nch, dedup=False)
+        met = SuperstepMetrics(name="cc_chain")
+        ncomp = connected_components(cg, metrics=met).select("component").distinct().count()
+        assert ncomp == 1
+        cg.unpersist()
+        return met
+
+    chain_met = timed("cc_chain_10k", cc_chain)
+    extras["cc_chain_supersteps"] = chain_met.total_supersteps
+
     timed("label_propagation_4it", lambda: label_propagation(g, iterations=4).count())
 
     r = timed(
@@ -97,18 +114,30 @@ def main() -> None:
     seeds = rng.integers(0, g.num_nodes, size=2048)
     timed("bfs_2048_sources", lambda: bfs_csr(g, seeds).count())
 
+    # distributed-CSR strategy (the >2e8-edge path): shard build + gather BFS
+    seeds_df = spark.createDataFrame(
+        [(int(s),) for s in rng.integers(0, g.num_nodes, size=64)], "seed long"
+    )
+    timed(
+        "bfs_sharded_64_sources",
+        lambda: per_seed_stats(bfs_frontier(g, seeds_df, shards=True)).count(),
+    )
+
     timed("triangle_count", lambda: triangle_count(g))
     timed("minhash_lsh_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.8).count())
     timed("simhash", lambda: simhash(docs).count())
+    timed(
+        "simhash_pairs_bucketed",
+        lambda: simhash_pairs(docs, bits=32, max_hamming=6).count(),
+    )
     timed("cosine_topk", lambda: cosine_topk(emb, k=10, num_queries=32).count())
     timed("sessionize", lambda: session_stats(events).count())
 
-    from avgdist_rs_spark.operators.similarity import embedding_near_dup_pairs, ivf_ann
-
-    timed("ivf_ann", lambda: ivf_ann(emb, k=10, num_queries=32, num_centroids=16, nprobe=4).count())
+    timed(
+        "ivf_ann",
+        lambda: ivf_ann(emb, k=10, num_queries=32, num_centroids=16, nprobe=4).count(),
+    )
     timed("emb_near_dup", lambda: embedding_near_dup_pairs(emb, threshold=0.4).count())
-
-    from avgdist_rs_spark.operators.simpath import simple_paths_edges
 
     ev0_type = events.where(F.col("event_id") == 0).collect()[0]["event_type"]
     timed(
@@ -117,6 +146,52 @@ def main() -> None:
             spark, em.event_edges(events), "E:0", f"H:{ev0_type}", max_len=16
         ).count(),
     )
+
+    extras["num_nodes"] = g.num_nodes
+    extras["num_edges"] = g.num_edges
+    return timings, extras
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "1"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"avgdist-rs-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    all_timings: list[dict] = []
+    all_extras: list[dict] = []
+    for _ in range(runs):
+        # fresh caches each run so graph_build is really measured
+        for gf in list(em._CACHE.values()):
+            gf.unpersist()
+        em._CACHE.clear()
+        spark.catalog.clearCache()
+        t, e = run_suite(spark, sf_dir)
+        all_timings.append(t)
+        all_extras.append(e)
+
+    timings = {
+        k: round(statistics.median(t[k] for t in all_timings), 3) for k in all_timings[0]
+    }
+    extras = {}
+    for k in all_extras[0]:
+        vals = [e[k] for e in all_extras]
+        extras[k] = round(statistics.median(vals), 6) if isinstance(vals[0], float) else vals[0]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -128,8 +203,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
-                "num_nodes": g.num_nodes,
-                "num_edges": g.num_edges,
+                "runs": runs,
                 **extras,
             }
         )
