@@ -1,14 +1,17 @@
 """Triangle counting on the undirected view (north rule; SURVEY.md §7.3).
 
-Canonical-orientation wedge join: symmetrize, keep each undirected edge once as
-(a < b), then count closed wedges
+Oriented wedge join: symmetrize, keep each undirected edge once, orient every
+edge from its lower- to its higher-rank endpoint, then count closed wedges
 
-    e1(a,b) ⋈ e2(b,c) [a<b<c] ⋈ e3(a,c)
+    o(u,v) ⋈ o(u,w) [rank v < rank w] ⋈ o(v,w)
 
-Each triangle {a<b<c} is counted exactly once. Two shuffle joins; the canonical
-orientation (low id → high id) is the standard degree/ID-ordering trick that
-keeps the wedge fan-out bounded on skewed graphs (a hub's wedges are generated
-only from its lower-id endpoints).
+Each triangle is counted exactly once (its lowest-rank vertex generates the
+wedge). Rank is **(degree, id)** by default — the standard degree-ordering
+bound: a vertex only fans out wedges among its higher-degree neighbors, so
+total wedge count is O(m^1.5) (arboricity-bounded) regardless of hub skew.
+Plain id-ordering is kept as ``orientation="id"`` for comparison: it is one
+join cheaper but a hub that happens to get a low id generates O(hub_degree²)
+wedges — the exact blow-up the degree rank prevents at 10^9-edge scale.
 """
 
 from __future__ import annotations
@@ -27,32 +30,68 @@ def canonical_edges(graph: GraphFrame) -> DataFrame:
     return e.filter(F.col("a") != F.col("b")).distinct()
 
 
-def triangle_count(graph: GraphFrame) -> int:
-    e = canonical_edges(graph).persist()
-    e.count()
-    e1 = e.select(F.col("a"), F.col("b"))
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
-    e3 = e.select(F.col("a"), F.col("b").alias("c"))
-    n = wedges.join(e3, ["a", "c"]).count()
-    e.unpersist()
+def _oriented(graph: GraphFrame, orientation: str) -> DataFrame:
+    """(tail, head, dh, h) with rank(tail) < rank(head); rank = (degree, id)
+    for ``orientation="degree"`` (default), plain id otherwise. ``dh`` rides
+    along so the wedge self-join can compare head ranks without re-joining
+    degrees."""
+    und = canonical_edges(graph)
+    if orientation == "id":
+        return und.select(
+            F.col("a").alias("tail"), F.col("b").alias("head"),
+            F.lit(0).alias("dh"),
+        )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("tail"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("head"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dh"),
+    )
+
+
+def _closed_wedges(graph: GraphFrame, orientation: str) -> DataFrame:
+    o = _oriented(graph, orientation).persist()
+    o.count()
+    o1 = o.select(F.col("tail"), F.col("head").alias("h1"), F.col("dh").alias("d1"))
+    o2 = o.select(F.col("tail"), F.col("head").alias("h2"), F.col("dh").alias("d2"))
+    lower = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("h1") < F.col("h2"))
+    )
+    wedges = o1.join(o2, "tail").where(lower)
+    closing = o.select(F.col("tail").alias("h1"), F.col("head").alias("h2"))
+    tri = wedges.join(closing, ["h1", "h2"]).select(
+        F.col("tail").alias("a"), F.col("h1").alias("b"), F.col("h2").alias("c")
+    )
+    return tri, o
+
+
+def triangle_count(graph: GraphFrame, orientation: str = "degree") -> int:
+    tri, o = _closed_wedges(graph, orientation)
+    n = tri.count()
+    o.unpersist()
     return n
 
 
-def per_vertex_triangles(graph: GraphFrame) -> DataFrame:
+def per_vertex_triangles(graph: GraphFrame, orientation: str = "degree") -> DataFrame:
     """(v, triangles) — number of triangles incident to each vertex."""
-    e = canonical_edges(graph).persist()
-    e.count()
-    e1 = e.select(F.col("a"), F.col("b"))
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    tri = (
-        e1.join(e2, "b")
-        .select("a", "b", "c")
-        .join(e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"])
-    )
+    tri, o = _closed_wedges(graph, orientation)
     out = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("triangles"))
     )
+    out = out.localCheckpoint(eager=True)
+    o.unpersist()
     return out

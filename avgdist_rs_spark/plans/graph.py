@@ -33,6 +33,7 @@ Spark-first re-expression:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -247,6 +248,65 @@ class GraphFrame:
             )
             setattr(self, attr, bc)
         return bc
+
+    # ------------------------------------------------------------- bucketed disk
+    def save_bucketed(self, name: str, path: str, buckets: int | None = None) -> None:
+        """Persist the graph as bucketed+sorted Parquet tables — the engine's
+        analog of the reference's preprocessed on-disk BVGraph pair.
+
+        Both orientations are written ``bucketBy(P, 'src') sortBy('src','dst')``
+        (external tables under ``path``), so any later job's frontier ⋈ edges
+        join reads the edge side pre-hashed: no edge-table Exchange, ever —
+        the one-time setup shuffle of `from_edges` moves to preprocessing,
+        exactly like ``webgraph from arcs`` + ``transform transpose``
+        (reference ``data/*/Makefile``). ``{name}_meta`` carries
+        num_nodes/num_edges; ``{name}_nodes`` the dense-id mapping.
+        """
+        spark = self.spark
+        p = buckets or _num_partitions_for(spark)
+        for suffix, df in (("edges", self.edges), ("edges_t", self.edges_t)):
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .option("path", os.path.join(path, suffix))
+                .bucketBy(p, "src")
+                .sortBy("src", "dst")
+                .saveAsTable(f"{name}_{suffix}")
+            )
+        if self.nodes is not None:
+            (
+                self.nodes.write.mode("overwrite")
+                .format("parquet")
+                .option("path", os.path.join(path, "nodes"))
+                .saveAsTable(f"{name}_nodes")
+            )
+        meta = spark.createDataFrame(
+            [(int(self.num_nodes), int(self.num_edges))], "num_nodes long, num_edges long"
+        )
+        (
+            meta.write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(path, "meta"))
+            .saveAsTable(f"{name}_meta")
+        )
+
+    @staticmethod
+    def load_bucketed(spark: SparkSession, name: str) -> "GraphFrame":
+        """Reopen a :meth:`save_bucketed` graph. The returned edge DataFrames
+        carry the table's bucketing, so superstep joins on ``src`` scan the
+        Parquet buckets directly with no Exchange on the edge side."""
+        row = spark.table(f"{name}_meta").collect()[0]
+        g = GraphFrame(
+            edges=spark.table(f"{name}_edges"),
+            edges_t=spark.table(f"{name}_edges_t"),
+            num_nodes=int(row["num_nodes"]),
+            num_edges=int(row["num_edges"]),
+        )
+        try:
+            g.nodes = spark.table(f"{name}_nodes")
+        except Exception:
+            g.nodes = None
+        return g
 
     # ------------------------------------------------------------- CSR shards
     def shard_bucket_size(self, buckets_per_partition: int = 4) -> int:

@@ -57,6 +57,45 @@ def test_sharded_bfs_transposed(spark, g):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_bucketed_save_load_shuffle_free_edge_join(spark, g, tmp_path):
+    """The on-disk graph (bucketBy src) is the preprocessed-BVGraph analog:
+    a frontier ⋈ edges join against the reopened table must NOT exchange the
+    edge side — the bucketed scan already satisfies the join distribution."""
+    import contextlib
+    import io
+
+    g.save_bucketed("tg", str(tmp_path / "tg"))
+    try:
+        lg = GraphFrame.load_bucketed(spark, "tg")
+        assert (lg.num_nodes, lg.num_edges) == (g.num_nodes, g.num_edges)
+        frontier = _seeds_df(spark, [0, 5]).select(F.col("seed").alias("src"))
+        # force the shuffle-join regime (a broadcast frontier has no shuffle
+        # either; the property under test is the big-side one): with a merge
+        # join, ONLY the frontier side may exchange — the bucketed edge scan
+        # already satisfies the join distribution.
+        j = lg.edges.hint("merge").join(frontier, "src")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SelectedBucketsCount" in plan  # bucketed scan exploited
+        n_exchanges = sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange (" in ln and ("+-" in ln or ":-" in ln)
+        )
+        assert n_exchanges <= 1  # frontier side only — never the edge table
+        # results equal the in-memory graph's
+        got = sorted(tuple(r) for r in j.select("src", "dst").collect())
+        want = sorted(
+            tuple(r) for r in g.edges.join(frontier, "src").select("src", "dst").collect()
+        )
+        assert got == want
+    finally:
+        for t in ("tg_edges", "tg_edges_t", "tg_nodes", "tg_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_csr_shards_50m_edges_never_touch_driver(spark):
     """50M-edge ring: shards build + BFS with zero python-driver RSS growth.
 

@@ -174,7 +174,27 @@ def test_triangle_count_vs_networkx(spark):
     nxt = nx.triangles(G)
     for v, t in nxt.items():
         assert pv.get(v, 0) == t
+    # degree-ordered (skew-safe default) and id-ordered orientations agree
+    assert triangle_count(g, orientation="id") == want
     g.unpersist()
+
+
+def test_cc_auto_shortcut_on_chain(spark):
+    """The auto default switches to pointer jumping after 4 plain supersteps:
+    a 500-hop chain converges in O(log) supersteps, not ~500, with the exact
+    same labeling as forced plain hash-min."""
+    from avgdist_rs_spark.plans.graph import GraphFrame
+    from avgdist_rs_spark.streaming.superstep import SuperstepMetrics
+    from pyspark.sql import functions as F
+
+    n = 500
+    ce = spark.range(n - 1).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    cg = GraphFrame.from_edges(ce, num_nodes=n, dedup=False)
+    met = SuperstepMetrics()
+    auto = connected_components(cg, metrics=met).toPandas().set_index("v")["component"]
+    assert met.total_supersteps <= 14  # 4 plain + ~log2(500/4) jumping rounds
+    assert (auto == 0).all()  # one chain, min label everywhere
+    cg.unpersist()
 
 
 def test_salted_bfs_equivalence(spark):
