@@ -85,18 +85,32 @@ def pagerank(
         # its rank fully (Σ_v contrib(v) = Σ_{u: outdeg>0} rank(u)) and Σ rank
         # is 1 by construction — saves the anti-join + extra ranks scan per
         # superstep; the SQL oracle mirrors this expression exactly.
+        # dangling mass stays IN the plan as a broadcast 1-row aggregate — no
+        # driver collect per superstep: the checkpoint materialization is the
+        # only job each iteration (the persisted contrib feeds both branches)
         if has_dangling:
-            contrib_total = contrib.agg(F.sum("c")).collect()[0][0] or 0.0
-            dangling = 1.0 - contrib_total
+            dmass = contrib.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("_dm")
+            )
+            base = (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+            )
+            new_ranks = (
+                graph.vertices()
+                .join(contrib, "v", "left")
+                .fillna(0.0, subset=["c"])
+                .crossJoin(F.broadcast(dmass))
+                .select("v", (base + F.lit(damping) * F.col("c")).alias("rank"))
+            )
         else:
-            dangling = 0.0
-        base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
-            graph.vertices()
-            .join(contrib, "v", "left")
-            .fillna(0.0, subset=["c"])
-            .select("v", (F.lit(base) + F.lit(damping) * F.col("c")).alias("rank"))
-        )
+            base = F.lit((1.0 - damping) / n)
+            new_ranks = (
+                graph.vertices()
+                .join(contrib, "v", "left")
+                .fillna(0.0, subset=["c"])
+                .select("v", (base + F.lit(damping) * F.col("c")).alias("rank"))
+            )
         if tol is not None:
             delta = (
                 new_ranks.alias("a")
