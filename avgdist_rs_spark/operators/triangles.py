@@ -6,12 +6,12 @@ edge from its lower- to its higher-rank endpoint, then count closed wedges
     o(u,v) ⋈ o(u,w) [rank v < rank w] ⋈ o(v,w)
 
 Each triangle is counted exactly once (its lowest-rank vertex generates the
-wedge). Rank is **(degree, id)** by default — the standard degree-ordering
-bound: a vertex only fans out wedges among its higher-degree neighbors, so
-total wedge count is O(m^1.5) (arboricity-bounded) regardless of hub skew.
-Plain id-ordering is kept as ``orientation="id"`` for comparison: it is one
-join cheaper but a hub that happens to get a low id generates O(hub_degree²)
-wedges — the exact blow-up the degree rank prevents at 10^9-edge scale.
+wedge). Rank is chosen by MEASUREMENT (``orientation="auto"``, default): the
+id-ordering wedge volume is one cheap aggregate over the canonical form — if
+small, the cheaper id path runs; if a low-id hub would fan out quadratically,
+the degree rank takes over (a vertex only fans out wedges among its
+higher-degree neighbors → O(m^1.5) wedges, arboricity-bounded, regardless of
+hub skew). Both fixed modes remain selectable and tested equal.
 """
 
 from __future__ import annotations
@@ -31,11 +31,28 @@ def canonical_edges(graph: GraphFrame) -> DataFrame:
 
 
 def _oriented(graph: GraphFrame, orientation: str) -> DataFrame:
-    """(tail, head, dh, h) with rank(tail) < rank(head); rank = (degree, id)
-    for ``orientation="degree"`` (default), plain id otherwise. ``dh`` rides
-    along so the wedge self-join can compare head ranks without re-joining
-    degrees."""
+    """(tail, head, dh) with rank(tail) < rank(head); rank = (degree, id)
+    for ``orientation="degree"``, plain id for ``"id"``. ``dh`` rides along so
+    the wedge self-join can compare head ranks without re-joining degrees.
+
+    ``"auto"`` (the operators' default) measures instead of guessing: the
+    id-orientation wedge volume is Σ_a outdeg(a)² over the already-canonical
+    (a < b) form — ONE tiny aggregate, no extra joins. If it is ≤ 8·m the
+    cheap id path is safe (no vertex fans out destructively) and the degree
+    join is skipped; past that, a low-rank hub is fanning out quadratically
+    and the degree rank (arboricity-bounded O(m^1.5) wedges) pays for its two
+    extra joins many times over.
+    """
     und = canonical_edges(graph)
+    if orientation == "auto":
+        cost_id = (
+            und.groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .agg(F.sum(F.col("d") * F.col("d")).alias("w"))
+            .collect()[0]["w"]
+            or 0
+        )
+        orientation = "id" if cost_id <= 8 * max(1, graph.num_edges) else "degree"
     if orientation == "id":
         return und.select(
             F.col("a").alias("tail"), F.col("b").alias("head"),
@@ -77,14 +94,14 @@ def _closed_wedges(graph: GraphFrame, orientation: str) -> DataFrame:
     return tri, o
 
 
-def triangle_count(graph: GraphFrame, orientation: str = "degree") -> int:
+def triangle_count(graph: GraphFrame, orientation: str = "auto") -> int:
     tri, o = _closed_wedges(graph, orientation)
     n = tri.count()
     o.unpersist()
     return n
 
 
-def per_vertex_triangles(graph: GraphFrame, orientation: str = "degree") -> DataFrame:
+def per_vertex_triangles(graph: GraphFrame, orientation: str = "auto") -> DataFrame:
     """(v, triangles) — number of triangles incident to each vertex."""
     tri, o = _closed_wedges(graph, orientation)
     out = (

@@ -45,6 +45,21 @@ def py_hash64(s: str, salt: str = "") -> int:
     return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)
 
 
+def test_hash_stream_matches_duckdb():
+    """The portable sampling stream h('salt'||j) — foundation of the oracle-
+    verified samplers — must agree with DuckDB's rendering value for value."""
+    import duckdb
+
+    from avgdist_rs_spark.functions.hashing import hash_stream
+
+    got = hash_stream("us:", 16)
+    want = duckdb.sql(
+        "SELECT ('0x' || substr(md5('us:' || j::VARCHAR), 1, 15))::BIGINT "
+        "FROM (SELECT unnest(generate_series(0, 15)) AS j)"
+    ).fetchall()
+    assert [int(x) for x in got] == [w[0] for w in want]
+
+
 def test_portable_hash_matches_python_and_duckdb(spark):
     import duckdb
 
