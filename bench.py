@@ -96,6 +96,14 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed("label_propagation_4it", lambda: label_propagation(g, iterations=4).count())
 
+    # sketch path: per-vertex neighbourhood function for ALL vertices at once
+    # (the centrality strategy that replaces all-sources BFS past ~10^7 nodes)
+    from avgdist_rs_spark.operators.hyperball import hyperball
+
+    hb_met = SuperstepMetrics(name="hyperball")
+    timed("hyperball_nf", lambda: hyperball(g, p=8, metrics=hb_met).count())
+    extras["hyperball_supersteps"] = hb_met.total_supersteps
+
     r = timed(
         "avgdist_estimator",
         lambda: avgdist_main(g, slot=64, eps=0.1, dummy=True, seed=42, max_batches=4),
