@@ -343,15 +343,31 @@ def sample_pair_rejection_hash(
 
     Returns (rank, v, dia, dist_sum, reached, ratio) — ratio = dist_sum/reached,
     the per-source mean the unipairs estimator averages.
+
+    The J-draw window is generated IN SPARK (``spark.range`` + the portable
+    md5 hash, identical bits to the driver-side ``hash_stream``): at
+    ``window_factor·n`` draws a driver-side Python md5 loop would itself be
+    the bottleneck at scale.
     """
+    from ..functions.hashing import portable_hash64
+
     n = graph.num_nodes
     J = window_factor * n
-    v = hash_stream(v_salt, J) % n
-    w = hash_stream(w_salt, J) % n
-    ok = v != w
-    idx = np.nonzero(ok)[0].astype(np.int64)
-    v, w = v[ok], w[ok]
-    uniq = np.unique(v)
+    jc = F.col("id").cast("string")
+    pairs = (
+        graph.spark.range(J)
+        .select(
+            F.col("id").alias("j"),
+            (portable_hash64(F.concat(F.lit(v_salt), jc)) % n).alias("seed"),
+            (portable_hash64(F.concat(F.lit(w_salt), jc)) % n).alias("w"),
+        )
+        .where(F.col("seed") != F.col("w"))
+        .persist()
+    )
+    uniq = np.array(
+        sorted(r["seed"] for r in pairs.select("seed").distinct().collect()),
+        dtype=np.int64,
+    )
     if _use_csr(graph, impl):
         cap = bfs_csr(graph, uniq, capture=True).localCheckpoint(eager=True)
     else:
@@ -364,9 +380,6 @@ def sample_pair_rejection_hash(
         F.sum("dist").alias("dist_sum"),
         F.count("*").alias("reached"),
     )
-    pairs = graph.spark.createDataFrame(
-        pd.DataFrame({"j": idx, "seed": v, "w": w}), schema="j long, seed long, w long"
-    )
     from pyspark.sql.window import Window
 
     hit = (
@@ -374,8 +387,10 @@ def sample_pair_rejection_hash(
         .join(stats, "seed")
         .withColumn("rank", F.row_number().over(Window.orderBy("j")))
         .where(F.col("rank") <= k)
+        .localCheckpoint(eager=True)
     )
     got = hit.count()
+    pairs.unpersist()
     if got < k:
         raise RuntimeError(
             f"pair-rejection hash window exhausted: {got}/{k} acceptances in {J} draws "
