@@ -40,6 +40,7 @@ _NQ, _TOPK = 8, 5  # similarity-query defaults
 _MH_HASHES, _MH_BANDS = 8, 4
 _SH_BITS = 32
 _IVF_C, _IVF_PROBE, _IVF_ITERS = 8, 3, 4  # IVF: centroids / probed clusters / Lloyd iters
+_LSH_TABLES = 2  # multi-table LSH: candidates unioned across independent plane sets
 #: embedding dimension contract for SQL-generation-time unrolls (LSH planes,
 #: IVF centroid updates). The Spark side derives dim from the data and asserts
 #: it against this constant — a loud error instead of a silent hash mismatch
@@ -409,9 +410,14 @@ def _q_cosine_topk(spark, sf):
 
 
 def _q_lsh_ann(spark, sf):
+    """Multi-table LSH ANN (the recall lever itself is value-verified: the
+    oracle unions the same _LSH_TABLES plane-set bucket joins)."""
     from avgdist_rs_spark.operators.similarity import lsh_ann
 
-    return lsh_ann(_emb_checked(spark, sf), k=_TOPK, num_queries=_NQ, num_planes=6, seed=42).select(
+    return lsh_ann(
+        _emb_checked(spark, sf), k=_TOPK, num_queries=_NQ, num_planes=6, seed=42,
+        num_tables=_LSH_TABLES,
+    ).select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
         F.col("rank").cast("long"),
@@ -948,23 +954,40 @@ FROM r WHERE rnk <= {_TOPK}
 
 
 def _lsh_ann_sql() -> str:
-    planes = _planes_sql_literals()
-    bits = " || ".join(
-        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)" for p in planes
+    """Multi-table LSH: one signature CTE per plane set (seed 42+t), candidate
+    union with dedup, then exact ranking — mirrors similarity.lsh_ann."""
+    parts = ["e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    cands = []
+    for t in range(_LSH_TABLES):
+        planes = _planes_sql_literals(num_planes=6, seed=42 + t)
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        parts.append(
+            f"sig{t} AS MATERIALIZED (SELECT vec_id AS nid, {bits} AS bucket FROM e)"
+        )
+        parts.append(
+            f"q{t} AS (SELECT nid AS qid, bucket FROM sig{t} WHERE nid < {_NQ})"
+        )
+        cands.append(
+            f"SELECT q{t}.qid, s.nid FROM sig{t} s JOIN q{t} USING (bucket) "
+            f"WHERE s.nid <> q{t}.qid"
+        )
+    parts.append("cand AS (SELECT DISTINCT qid, nid FROM (" + " UNION ".join(cands) + "))")
+    parts.append(
+        f"s AS (SELECT c.qid, c.nid, {_cosine_expr('qe.v', 'ne.v')} AS sim_raw "
+        "FROM cand c JOIN e qe ON qe.vec_id = c.qid JOIN e ne ON ne.vec_id = c.nid)"
     )
-    return f"""
-WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sig AS MATERIALIZED (SELECT vec_id AS nid, v AS nv, {bits} AS bucket FROM e),
-q AS (SELECT nid AS qid, nv AS qv, bucket FROM sig WHERE nid < {_NQ}),
-s AS (SELECT qid, sig.nid, {_cosine_expr('qv', 'sig.nv')} AS sim_raw
-      FROM sig JOIN q USING (bucket) WHERE sig.nid <> qid),
-r AS (SELECT qid, nid, sim_raw,
-             row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid ASC) AS rnk
-      FROM s)
-SELECT qid AS query_id, nid AS neighbor_id, rnk::BIGINT AS rank,
-       round(sim_raw, 4) AS sim
-FROM r WHERE rnk <= {_TOPK}
-"""
+    parts.append(
+        "r AS (SELECT qid, nid, sim_raw, row_number() OVER ("
+        "PARTITION BY qid ORDER BY sim_raw DESC, nid ASC) AS rnk FROM s)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT qid AS query_id, nid AS neighbor_id, rnk::BIGINT AS rank, "
+        f"round(sim_raw, 4) AS sim FROM r WHERE rnk <= {_TOPK}"
+    )
 
 
 
