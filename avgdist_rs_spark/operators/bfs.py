@@ -466,6 +466,11 @@ def bfs_frontier(
     separate frontier state needs persisting.
     """
     spark = graph.spark
+    if shards and num_salts and num_salts > 1:
+        raise ValueError(
+            "shards and num_salts are alternative skew strategies — the shard "
+            "gather has no shuffle-key skew (range buckets), pick one"
+        )
     base = graph.edges_t if transposed else graph.edges
     # disjoint column names: the frontier is itself derived from edge joins, and
     # Spark's ambiguous-self-join analysis would otherwise reject superstep ≥ 2

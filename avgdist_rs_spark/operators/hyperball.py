@@ -129,6 +129,7 @@ def hyperball(
     max_supersteps: int = 128,
     checkpointer: Checkpointer | None = None,
     metrics: SuperstepMetrics | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(v, reach_est, harmonic_est, dist_sum_est) for EVERY vertex at once.
 
@@ -162,12 +163,22 @@ def hyperball(
             )
 
     state_schema = "v long, regs binary, nf double, harmonic double, dist_sum double"
-    state = (
-        graph.vertices()
-        .repartition(nparts, "v")
-        .mapInPandas(init, schema=state_schema)
-        .localCheckpoint(eager=True)
-    )
+    state = None
+    start_t = 0
+    if resume:
+        # north-rule resumability, same shape as BFS/PageRank: the durable
+        # checkpoint IS the full sketch state, so any superstep restarts
+        latest = ckpt.latest()
+        if latest is not None:
+            state, start_t = latest
+            state = state.drop("changed")
+    if state is None:
+        state = (
+            graph.vertices()
+            .repartition(nparts, "v")
+            .mapInPandas(init, schema=state_schema)
+            .localCheckpoint(eager=True)
+        )
 
     def update(batches: Iterator[pd.DataFrame], t: int) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -196,7 +207,7 @@ def hyperball(
                 }
             )
 
-    for t in range(1, max_supersteps + 1):
+    for t in range(start_t + 1, max_supersteps + 1):
         t0 = time.monotonic()
         contrib = state.join(edges, state.v == F.col("_edst")).select(
             F.col("_esrc").alias("v"), "regs"

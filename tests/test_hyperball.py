@@ -35,6 +35,36 @@ def test_hyperball_star_exact_shape(spark):
     g.unpersist()
 
 
+def test_hyperball_resume_from_checkpoint(spark, tmp_path):
+    """Interrupted HyperBall resumes from the durable sketch state and ends
+    with the same estimates as an uninterrupted run (registers are exact
+    state, so resumed convergence is bit-identical)."""
+    from avgdist_rs_spark.sources.fixtures import barabasi_graph
+    from avgdist_rs_spark.streaming.superstep import Checkpointer
+
+    g = barabasi_graph(spark, n=150, m=3, seed=5)
+    ckdir = str(tmp_path / "hb")
+    hyperball(
+        g, p=8, max_supersteps=2,
+        checkpointer=Checkpointer(spark, "hb", ckdir, every=1),
+    ).count()
+    resumed = (
+        hyperball(
+            g, p=8,
+            checkpointer=Checkpointer(spark, "hb", ckdir, every=1),
+            resume=True,
+        )
+        .toPandas()
+        .set_index("v")
+        .sort_index()
+    )
+    full = hyperball(g, p=8).toPandas().set_index("v").sort_index()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(resumed, full)
+    g.unpersist()
+
+
 def test_hyperball_matches_exact_on_wiki(spark):
     path = "/root/reference/data/wikipedia-vote-network/wiki.csv"
     if not os.path.exists(path):
