@@ -640,9 +640,12 @@ _OG = "og AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM eg_edges GROUP B
 _NN = "nn AS MATERIALIZED (SELECT count(*) AS n FROM eg_verts)"
 
 #: directed BFS closure: min hop distance for every reachable ordered pair.
-#: Self-checking: if any path instance reaches the _DIST_MAX bound the closure
-#: may be truncated (Spark runs BFS to convergence) — error out loudly instead
-#: of silently under-counting at an unexpected scale factor.
+#: Self-pairs (v, v, d>=1) on cyclic graphs are excluded — the engine's BFS
+#: marks the seed visited at start and never revisits it, so the closure must
+#: match that no-self-revisit semantics on ANY input (not just the currently
+#: acyclic session graph). Self-checking: if any path instance reaches the
+#: _DIST_MAX bound the closure may be truncated (Spark runs BFS to
+#: convergence) — error out loudly instead of silently under-counting.
 _MIND = f"""
 dd(v, w, d) AS (
   SELECT src, dst, 1 FROM eg_edges
@@ -650,7 +653,7 @@ dd(v, w, d) AS (
   SELECT dd.v, e.dst, dd.d + 1 FROM dd JOIN eg_edges e ON dd.w = e.src
   WHERE dd.d < {_DIST_MAX}),
 mind AS MATERIALIZED (
-  SELECT v, w, min(d) AS d FROM dd GROUP BY v, w
+  SELECT v, w, min(d) AS d FROM dd WHERE v <> w GROUP BY v, w
   HAVING CASE WHEN (SELECT max(d) FROM dd) >= {_DIST_MAX}
          THEN error('oracle BFS closure truncated: raise _DIST_MAX') ELSE TRUE END)
 """

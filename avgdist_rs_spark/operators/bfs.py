@@ -390,7 +390,10 @@ def _shard_gather(graph: GraphFrame, transposed: bool):
     the CSR strategy that survives past ``DEFAULT_CSR_MAX_EDGES``.
     """
     shards = graph.csr_shards(transposed=transposed)
-    bsz = graph.shard_bucket_size()
+    # the BUILD-TIME width, not a recomputed one: shard_bucket_size() reads
+    # live session conf, and a drifted spark.sql.shuffle.partitions between
+    # shard build and BFS would silently misalign frontier vs shard buckets
+    bsz = graph.shard_width(transposed=transposed)
     n = graph.num_nodes
     tdt = np.int32 if n < 2**31 else np.int64
 
@@ -470,6 +473,11 @@ def bfs_frontier(
         raise ValueError(
             "shards and num_salts are alternative skew strategies — the shard "
             "gather has no shuffle-key skew (range buckets), pick one"
+        )
+    if shards and hub_df is not None:
+        raise ValueError(
+            "hub_df is a salting hint and is unused by the shard gather — "
+            "pass it with num_salts>1 (edge-join strategy) instead"
         )
     base = graph.edges_t if transposed else graph.edges
     # disjoint column names: the frontier is itself derived from edge joins, and

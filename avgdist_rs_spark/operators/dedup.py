@@ -219,8 +219,12 @@ def simhash(
     sums = wd.groupBy("id").agg(*aggs)
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
+        # bit 63 as a LongType literal is Long.MIN (two's complement) — 1<<63
+        # is not representable; disjoint bits assemble with OR, never +, so no
+        # ANSI overflow at any width
+        bit = F.lit(-(1 << 63) if b == 63 else (1 << b))
+        term = F.when(F.col(f"s{b}") > 0, bit).otherwise(F.lit(0))
+        fp = term if fp is None else fp.bitwiseOR(term)
     return sums.select("id", fp.cast("long").alias("simhash"))
 
 
@@ -257,7 +261,11 @@ def simhash_pairs(
     keys, off = [], 0
     for ci in range(nchunks):
         w = base + (1 if ci < rem else 0)
-        chunk = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+        shifted = F.shiftrightunsigned(F.col("simhash"), off)
+        # a full-width chunk (w=64, i.e. max_hamming=0 at bits=64) has no
+        # LongType-representable mask literal ((1<<64)-1 overflows) and needs
+        # none — the unsigned shift already isolated all remaining bits
+        chunk = shifted if w >= 64 else shifted.bitwiseAND(F.lit((1 << w) - 1))
         keys.append(F.concat_ws(":", F.lit(str(ci)), chunk.cast("string")))
         off += w
     stacked = s.select("id", "simhash", F.explode(F.array(*keys)).alias("ck"))

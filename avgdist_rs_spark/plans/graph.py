@@ -331,6 +331,14 @@ class GraphFrame:
         attr = "_shards_bwd" if transposed else "_shards_fwd"
         cached = getattr(self, attr, None)
         if cached is not None:
+            built_bsz = getattr(self, attr + "_bsz")
+            if bucket_size is not None and bucket_size != built_bsz:
+                # a silent mismatch would make gather-side bucket keys disagree
+                # with the shard table's (truncated/empty reachability, no error)
+                raise ValueError(
+                    f"csr_shards already built with bucket_size={built_bsz}; "
+                    f"requested {bucket_size} — unpersist() first to rebuild"
+                )
             return cached
         df = self.edges_t if transposed else self.edges
         bsz = bucket_size or self.shard_bucket_size()
@@ -365,7 +373,15 @@ class GraphFrame:
         )
         shards.count()
         setattr(self, attr, shards)
+        # the build-time bucket width travels WITH the cache: gathers must use
+        # this exact value even if spark.sql.shuffle.partitions changes later
+        setattr(self, attr + "_bsz", bsz)
         return shards
+
+    def shard_width(self, transposed: bool = False) -> int:
+        """Bucket width the cached shard table was built with (builds if absent)."""
+        self.csr_shards(transposed=transposed)
+        return getattr(self, "_shards_bwd_bsz" if transposed else "_shards_fwd_bsz")
 
     def unpersist(self) -> None:
         self.edges.unpersist()
@@ -382,3 +398,4 @@ class GraphFrame:
             if df is not None:
                 df.unpersist()
                 setattr(self, attr, None)
+                setattr(self, attr + "_bsz", None)

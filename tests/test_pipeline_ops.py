@@ -311,3 +311,19 @@ def test_multimodal_resize_and_frames(docs):
     per = fr.groupby("media_id").size()
     assert (per <= 4).all() and (per >= 1).all()
     assert (fr["n_bytes"] <= 16).all()
+
+
+def test_simhash_pairs_bucketed_full_width_chunk(spark):
+    """bits=64 with max_hamming=0 → one 64-bit chunk: the mask literal
+    (1<<64)-1 is not LongType-representable; the full-width chunk must skip
+    the mask (regression for the w=64 plan-construction failure)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = {
+        tuple(r)
+        for r in simhash_pairs(docs, bits=64, max_hamming=0, bucketed=True).collect()
+    }
+    slow = {
+        tuple(r)
+        for r in simhash_pairs(docs, bits=64, max_hamming=0, bucketed=False).collect()
+    }
+    assert fast == slow
