@@ -303,7 +303,7 @@ def _q_reach_counts(spark, sf):
     from avgdist_rs_spark.operators.bfs import bfs_csr
 
     g = _graph(spark, sf)
-    seeds = np.arange(g.num_nodes, dtype=np.int64)
+    seeds = g.vertices().select(F.col("v").alias("seed"))  # distributed, not np.arange
     cap = bfs_csr(g, seeds, capture=True)
     cnt = cap.groupBy("v").agg(F.count("*").alias("n_reaching"))
     return _orig(g, cnt, ["v"]).select("v", F.col("n_reaching").cast("long"))

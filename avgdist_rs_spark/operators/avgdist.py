@@ -54,7 +54,7 @@ def _use_csr(graph: GraphFrame, impl: str) -> bool:
     return graph.num_edges <= DEFAULT_CSR_MAX_EDGES
 
 
-def _seed_stats(graph: GraphFrame, seeds: np.ndarray, impl: str,
+def _seed_stats(graph: GraphFrame, seeds: np.ndarray | DataFrame, impl: str,
                 transposed: bool = False) -> DataFrame:
     """(seed, dia, dist_sum, reached) — ONE ROW PER SEED OCCURRENCE.
 
@@ -63,7 +63,17 @@ def _seed_stats(graph: GraphFrame, seeds: np.ndarray, impl: str,
     BFS is deterministic per seed, so: run each distinct seed once, then
     expand back to occurrences with a join — identical rows for duplicates,
     identical semantics across the CSR and frontier strategies.
+
+    ``seeds`` may also be a DataFrame with a DISTINCT ``seed`` column (the
+    all-vertices exact mode passes ``graph.vertices()``): that form never
+    ships the seed set through the driver — required at 10^8-vertex scale.
     """
+    if isinstance(seeds, DataFrame):
+        if _use_csr(graph, impl):
+            return bfs_csr(graph, seeds, transposed=transposed, capture=False)
+        return per_seed_stats(
+            bfs_frontier(graph, seeds, transposed=transposed, shards=impl == "shards")
+        )
     seeds = np.asarray(seeds, dtype=np.int64)
     uniq = np.unique(seeds)
     if _use_csr(graph, impl):
@@ -88,8 +98,11 @@ def exact_avgdist(graph: GraphFrame, impl: str = "auto") -> dict:
     Golden anchors: star n=2001 → 1.333333 / 2; ER-1k → 3.706478 / 13
     (``data/star/result/star-uni-exact.out``,
     ``data/erdos-renyi/result/1k-0001p-uni-exact.out``).
+
+    Seeds are the distributed vertex range (``spark.range``) — an n-length
+    driver array would be multi-GB at the reference's 668M-vertex scale.
     """
-    seeds = np.arange(graph.num_nodes, dtype=np.int64)
+    seeds = graph.vertices().select(F.col("v").alias("seed"))
     stats = _seed_stats(graph, seeds, impl)
     row = stats.agg(
         F.max("dia").alias("dia"),
@@ -325,6 +338,36 @@ def sample_coverage_weighted_hash(
     )
 
 
+def _topk_by(df: DataFrame, k: int, key: str) -> DataFrame:
+    """Distributed exact first-k selection by ascending ``key``.
+
+    Two-phase: every partition keeps only its k smallest rows (a vectorized
+    ``nsmallest`` over Arrow batches — partition-local, no shuffle), then a
+    single row_number window ranks the ≤ P·k survivors. Each partition's
+    local top-k necessarily contains every global top-k member it holds, so
+    the result is exact; the global sort input is bounded by partitions×k
+    rows, never the full candidate set (the single-partition
+    ``Window.orderBy`` over ALL acceptances was the at-scale bottleneck).
+    """
+    from pyspark.sql.window import Window
+
+    schema = df.schema
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cur = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            best = cur.nsmallest(k, key) if len(cur) > k else cur
+        if best is not None and len(best):
+            yield best
+
+    partial = df.mapInPandas(local_topk, schema=schema)
+    w = Window.orderBy(key)
+    return partial.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def sample_pair_rejection_hash(
     graph: GraphFrame,
     k: int,
@@ -332,70 +375,99 @@ def sample_pair_rejection_hash(
     impl: str = "auto",
     v_salt: str = "pv:",
     w_salt: str = "pw:",
+    first_slice: int | None = None,
 ) -> DataFrame:
     """K3 pair rejection on the portable hash stream (``src/bin/unipairs.rs:72-88``).
 
     A fixed draw window of ``window_factor·n`` candidate pairs
     ``(h(pv:j) mod n, h(pw:j) mod n)`` replaces the open-ended rejection loop:
     acceptance (v ≠ w and w forward-reachable from v) is order-independent, so
-    "first k accepted in j order" is deterministic and SQL-replayable. One
-    multi-source BFS over the distinct drawn sources does all the work.
+    "first k accepted in j order" is deterministic and SQL-replayable
+    regardless of how the window is traversed.
+
+    The window is therefore processed in increasing-j SLICES, stopping as soon
+    as k acceptances exist — on a high-reachability graph only the first few
+    thousand draws are ever generated or BFS'd, not all 100·n (the slice
+    schedule adapts to the measured acceptance rate; the result is identical
+    for any schedule). Within each slice everything stays distributed:
+
+    - draws are generated in Spark (``spark.range`` + the portable md5 hash,
+      identical bits to the driver-side ``hash_stream``);
+    - the distinct drawn sources feed the BFS as a DataFrame — never an O(n)
+      driver collect (at the reference's 668M vertices the old distinct-source
+      collect was a multi-GB driver list);
+    - "first k accepted by j" is the two-phase :func:`_topk_by` selection —
+      per-partition top-k then a rank over ≤ partitions·k survivors, never a
+      single-partition sort of every acceptance.
 
     Returns (rank, v, dia, dist_sum, reached, ratio) — ratio = dist_sum/reached,
     the per-source mean the unipairs estimator averages.
-
-    The J-draw window is generated IN SPARK (``spark.range`` + the portable
-    md5 hash, identical bits to the driver-side ``hash_stream``): at
-    ``window_factor·n`` draws a driver-side Python md5 loop would itself be
-    the bottleneck at scale.
     """
     from ..functions.hashing import portable_hash64
 
     n = graph.num_nodes
     J = window_factor * n
-    jc = F.col("id").cast("string")
-    pairs = (
-        graph.spark.range(J)
-        .select(
-            F.col("id").alias("j"),
-            (portable_hash64(F.concat(F.lit(v_salt), jc)) % n).alias("seed"),
-            (portable_hash64(F.concat(F.lit(w_salt), jc)) % n).alias("w"),
-        )
-        .where(F.col("seed") != F.col("w"))
-        .persist()
-    )
-    uniq = np.array(
-        sorted(r["seed"] for r in pairs.select("seed").distinct().collect()),
-        dtype=np.int64,
-    )
-    if _use_csr(graph, impl):
-        cap = bfs_csr(graph, uniq, capture=True).localCheckpoint(eager=True)
-    else:
-        seeds_df = graph.spark.createDataFrame(
-            pd.DataFrame({"seed": uniq}), schema="seed long"
-        )
-        cap = bfs_frontier(graph, seeds_df).filter("dist > 0")
-    stats = cap.groupBy("seed").agg(
-        F.max("dist").alias("dia"),
-        F.sum("dist").alias("dist_sum"),
-        F.count("*").alias("reached"),
-    )
-    from pyspark.sql.window import Window
 
-    hit = (
-        pairs.join(cap.select("seed", F.col("v").alias("w")).dropDuplicates(), ["seed", "w"])
-        .join(stats, "seed")
-        .withColumn("rank", F.row_number().over(Window.orderBy("j")))
-        .where(F.col("rank") <= k)
-        .localCheckpoint(eager=True)
-    )
-    got = hit.count()
-    pairs.unpersist()
-    if got < k:
+    def window(lo: int, hi: int) -> DataFrame:
+        jc = F.col("id").cast("string")
+        return (
+            graph.spark.range(lo, hi)
+            .select(
+                F.col("id").alias("j"),
+                (portable_hash64(F.concat(F.lit(v_salt), jc)) % n).alias("seed"),
+                (portable_hash64(F.concat(F.lit(w_salt), jc)) % n).alias("w"),
+            )
+            .where(F.col("seed") != F.col("w"))
+        )
+
+    def slice_hits(lo: int, hi: int) -> DataFrame:
+        pairs = window(lo, hi)
+        srcs = pairs.select("seed").distinct()
+        if _use_csr(graph, impl):
+            cap = bfs_csr(graph, srcs, capture=True).localCheckpoint(eager=True)
+        else:
+            cap = bfs_frontier(graph, srcs, shards=impl == "shards").filter("dist > 0")
+        stats = cap.groupBy("seed").agg(
+            F.max("dist").alias("dia"),
+            F.sum("dist").alias("dist_sum"),
+            F.count("*").alias("reached"),
+        )
+        return (
+            pairs.join(
+                cap.select("seed", F.col("v").alias("w")).dropDuplicates(), ["seed", "w"]
+            )
+            .join(stats, "seed")
+            .select("j", "seed", "dia", "dist_sum", "reached")
+            .localCheckpoint(eager=True)
+        )
+
+    lo, width = 0, min(J, first_slice or max(4096, 64 * k))
+    accepted: DataFrame | None = None
+    have = 0
+    while lo < J:
+        hi = min(J, lo + width)
+        hits = slice_hits(lo, hi)
+        accepted = hits if accepted is None else accepted.union(hits)
+        have += hits.count()
+        lo = hi
+        if have >= k:
+            break
+        # adapt the next slice to the measured acceptance rate (with 2×
+        # headroom); ≥ previous width so low-rate graphs still grow
+        # geometrically. The schedule affects only how much window is
+        # materialized — first-k-by-j is schedule-independent.
+        need = k - have
+        width = min(
+            J - lo,
+            max(width, int(math.ceil(2.0 * need * lo / max(have, 1)))) if have
+            else 4 * width,
+        )
+    if have < k:
         raise RuntimeError(
-            f"pair-rejection hash window exhausted: {got}/{k} acceptances in {J} draws "
+            f"pair-rejection hash window exhausted: {have}/{k} acceptances in {J} draws "
             f"(raise window_factor)"
         )
+    hit = _topk_by(accepted, k, "j")
     return hit.select(
         "rank",
         F.col("seed").alias("v"),

@@ -220,8 +220,13 @@ def _bfs_levels_dirop(
         frontier = fresh
 
 
-def _seed_batches(graph: GraphFrame, seeds: np.ndarray) -> DataFrame:
-    """Distribute a driver-side seed array across the cluster, one row per seed.
+def _seed_batches(graph: GraphFrame, seeds: np.ndarray | DataFrame) -> DataFrame:
+    """Distribute seeds across the cluster, one row per seed.
+
+    ``seeds`` may be a driver-side array (k-sized sampler draws) or an
+    already-distributed DataFrame with a ``seed`` column (all-vertices scans,
+    window-drawn sources) — the DataFrame form never materializes the seed
+    set on the driver, which matters when the seed set is O(n).
 
     One task per core: mapInPandas has ~17 ms *serialized* per-task overhead
     (python-worker handshake), so extra waves of fine tasks cost more than the
@@ -229,20 +234,27 @@ def _seed_batches(graph: GraphFrame, seeds: np.ndarray) -> DataFrame:
     task's seed batch (measured: 128-task no-op = 2.2 s vs 32-task = 0.7 s at
     local[32])."""
     spark = graph.spark
-    p = min(len(seeds), int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if isinstance(seeds, DataFrame):
+        return seeds.select(F.col("seed").cast("long").alias("seed")).repartition(p)
+    p = min(len(seeds), p)
     pdf = pd.DataFrame({"seed": np.asarray(seeds, dtype=np.int64)})
     return spark.createDataFrame(pdf, schema="seed long").repartition(max(p, 1))
 
 
 def bfs_csr(
     graph: GraphFrame,
-    seeds: np.ndarray,
+    seeds: np.ndarray | DataFrame,
     transposed: bool = False,
     capture: bool = False,
     ms: bool | None = None,
     dirop: bool | None = None,
 ) -> DataFrame:
     """Seed-parallel BFS over broadcast CSR adjacency.
+
+    ``seeds`` may be a driver array or a DataFrame with a ``seed`` column —
+    the DataFrame form keeps O(n)-sized seed sets (all-vertices exact mode,
+    pair-rejection draw windows) off the driver entirely.
 
     Returns per-seed aggregates ``(seed, dia, dist_sum, reached)`` or, with
     ``capture=True`` (reference K2), all ``(seed, v, dist)`` pairs with dist ≥ 1.
@@ -262,7 +274,8 @@ def bfs_csr(
             f"graph has {graph.num_edges} edges > CSR fast-path cap "
             f"{DEFAULT_CSR_MAX_EDGES}; use bfs_frontier"
         )
-    use_dirop = (len(seeds) >= 64 if dirop is None else bool(dirop)) and not use_ms
+    many_seeds = True if isinstance(seeds, DataFrame) else len(seeds) >= 64
+    use_dirop = (many_seeds if dirop is None else bool(dirop)) and not use_ms
     bc = graph.csr_broadcast(transposed=transposed)
     bc_b = graph.csr_broadcast(transposed=not transposed) if use_dirop else None
     switch_edges = max(1, graph.num_edges // 4)

@@ -39,7 +39,9 @@ from .avgdist import k_formula, sample_pair_rejection, sample_uniform
 from .bfs import DEFAULT_CSR_MAX_EDGES, bfs_csr, bfs_frontier
 
 
-def _capture(graph: GraphFrame, seeds: np.ndarray, transposed: bool, impl: str) -> DataFrame:
+def _capture(
+    graph: GraphFrame, seeds: np.ndarray | DataFrame, transposed: bool, impl: str
+) -> DataFrame:
     """(seed, v, dist≥1, w) reachability capture; ``w`` = seed multiplicity.
 
     The reference runs one BFS per draw, so a seed sampled twice contributes
@@ -51,6 +53,14 @@ def _capture(graph: GraphFrame, seeds: np.ndarray, transposed: bool, impl: str) 
 
     from .avgdist import _use_csr
 
+    if isinstance(seeds, DataFrame):
+        # distributed seed set (exact mode's all-vertices scan): assumed
+        # distinct, multiplicity 1 — never ships through the driver
+        if _use_csr(graph, impl):
+            cap = bfs_csr(graph, seeds, transposed=transposed, capture=True)
+        else:
+            cap = bfs_frontier(graph, seeds, transposed=transposed).filter("dist > 0")
+        return cap.withColumn("w", F.lit(1).cast("long"))
     seeds = np.asarray(seeds, dtype=np.int64)
     uniq, mult = np.unique(seeds, return_counts=True)
     if _use_csr(graph, impl):
@@ -77,7 +87,7 @@ def harmonic_centrality(
     """(v, harmonic, coverage) — c(u) = (1/|S|) Σ_seeds 1/(1+d(seed,u))."""
     n = graph.num_nodes
     if exact:
-        seeds = np.arange(n, dtype=np.int64)
+        seeds = graph.vertices().select(F.col("v").alias("seed"))
         sample_size = n
     else:
         sample_size = k_formula(n, eps)
@@ -104,7 +114,7 @@ def closeness_centrality(
     """(v, closeness) — c(u) = 1/(dist_sum(u)·k'), or Lin reach²/(dist_sum·k')."""
     n = graph.num_nodes
     if exact:
-        seeds = np.arange(n, dtype=np.int64)
+        seeds = graph.vertices().select(F.col("v").alias("seed"))
         norm = n
     else:
         k = closeness_k(eps)
