@@ -114,3 +114,31 @@ def test_edges_prepartitioned_for_supersteps(spark):
     q = frontier.join(g.edges, frontier.v == g.edges.src)
     p = plan_of(q, "simple")
     assert "InMemoryTableScan" in p
+
+
+def test_lloyd_assignment_zero_shuffle(emb):
+    """Lloyd's assignment step is a pure projection over a one-row broadcast
+    centroid table: NO Exchange may carry the embedding vectors (the round-2
+    formulation shuffled the full corpus once per iteration through a
+    groupBy(nid) argmin)."""
+    from avgdist_rs_spark.operators.similarity import kmeans_lloyd
+
+    assigned, cents = kmeans_lloyd(emb, num_centroids=4, iterations=1)
+    p = plan_of(assigned)
+    # vectors never move: no SHUFFLE exchange anywhere — the only Exchange
+    # allowed is the broadcast of the one-row centroid table
+    shuffles = [
+        ln for ln in p.splitlines() if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert shuffles == []
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p  # argmin is a JVM higher-order function
+    # the assignment is still correct: every vector lands on its nearest centroid
+    import numpy as np
+
+    rows = assigned.collect()
+    c = np.array(cents)
+    for r in rows[:50]:
+        v = np.array(r["nv"])
+        d2 = ((c - v) ** 2).sum(axis=1)
+        assert int(r["cluster"]) == int(np.argmin(d2))
