@@ -22,11 +22,13 @@ Spark shape — everything is partition-vectorized numpy over Arrow batches,
 never per-key pandas groups (per-group overhead would dominate at 10^9
 vertices):
 
-1. contributions = state ⋈ edges (only the register vectors shuffle; the edge
-   side keeps its stable partitioning);
-2. register merge = repartition(v) + sortWithinPartitions + ``mapInPandas``
-   running ``np.maximum.reduceat`` over group boundaries, with group
-   carry-over across Arrow batches;
+1. contributions = state ⋈ edges, keyed on the edge side's stable hash
+   partitioning (only the register vectors shuffle, never the edge table);
+2. register merge = map-side partial max per (partition, vertex) BEFORE the
+   exchange (register max is associative — the pre-merge cuts shuffled blob
+   rows from one-per-edge to one-per-touched-vertex), then repartition(v) +
+   sortWithinPartitions + ``mapInPandas`` running ``np.maximum.reduceat``
+   over group boundaries, with group carry-over across Arrow batches;
 3. estimate/accumulator update = co-partitioned join with the previous state
    + one vectorized pass (matrix HLL estimation, bytes-equality change
    detection).
@@ -78,11 +80,16 @@ def _init_regs(v: np.ndarray, p: int) -> np.ndarray:
     x = x ^ (x >> np.uint64(31))
     j = (x & np.uint64(m - 1)).astype(np.int64)
     w = x >> np.uint64(p)
-    # rho = (64-p) − bit_length(w) + 1, vectorized; bit_length via log2 is
-    # safe here: w < 2^54 and an off-by-one on the 2^53 rounding boundary
-    # would only perturb one register of an approximate counter
-    wf = w.astype(np.float64)
-    bl = np.where(w > 0, np.floor(np.log2(np.maximum(wf, 1.0))) + 1, 0).astype(np.int64)
+    # rho = (64-p) − bit_length(w) + 1; bit_length via EXACT vectorized binary
+    # search (a float log2 mis-rounds w ≥ 2^53 near power-of-two boundaries,
+    # and exactness is what lets the DuckDB oracle replay registers bit-for-bit)
+    bl = np.zeros(len(w), dtype=np.int64)
+    tmp = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = tmp >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        tmp[big] >>= np.uint64(shift)
+    bl += (tmp > 0).astype(np.int64)
     rho = ((64 - p) - bl + 1).astype(np.uint8)
     regs = np.zeros((len(v), m), dtype=np.uint8)
     regs[np.arange(len(v)), j] = rho
@@ -130,6 +137,8 @@ def hyperball(
     checkpointer: Checkpointer | None = None,
     metrics: SuperstepMetrics | None = None,
     resume: bool = False,
+    combine: bool = True,
+    measure_volume: bool = False,
 ) -> DataFrame:
     """(v, reach_est, harmonic_est, dist_sum_est) for EVERY vertex at once.
 
@@ -137,14 +146,31 @@ def hyperball(
     convention — the reference's estimator uses 1/(1+d), derivable the same
     way); ``dist_sum_est`` ≈ Σ d over reachable pairs. Per-counter relative
     error ~1.06/√2^p (p=10 → ~3%; measured 0.4–1.1% mean on wiki-Vote).
+
+    Shuffle discipline (register blobs are 8+2^p bytes — THE cost at scale):
+
+    - the contribution join keys on the edge table whose stable hash
+      partitioning matches the join key (``edges_t`` for forward balls), so
+      the edge side never exchanges — only the n-row state does;
+    - ``combine=True`` (default) pre-merges contributions per (partition, v)
+      with the same reduceat kernel BEFORE the exchange — register max is
+      associative (HyperBall's whole trick), so per-superstep shuffle drops
+      from m+n blob rows to ≈ touched-vertices-per-partition + n, with
+      bit-identical results. ``measure_volume=True`` records raw vs pre-merged
+      contribution rows per superstep in the metrics (two extra count jobs —
+      diagnostics only).
     """
     spark = graph.spark
     m = 1 << p
     nparts = _num_partitions_for(spark)
     met = metrics if metrics is not None else SuperstepMetrics(name="hyperball")
     ckpt = checkpointer or Checkpointer(spark, name="hyperball", every=4)
-    base = graph.edges_t if transposed else graph.edges
-    edges = base.select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+    # ball(v) grows along v's OUT-edges on the working graph: contributions
+    # flow dst → src. Reading the OPPOSITE orientation's table gives rows
+    # (u=dst, w=src) hash-partitioned on u — exactly the join key — so each
+    # superstep's join exchanges ONLY the state vector, never the edges.
+    base = graph.edges if transposed else graph.edges_t
+    edges = base.select(F.col("src").alias("_eu"), F.col("dst").alias("_ev"))
 
     def init(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -209,11 +235,26 @@ def hyperball(
 
     for t in range(start_t + 1, max_supersteps + 1):
         t0 = time.monotonic()
-        contrib = state.join(edges, state.v == F.col("_edst")).select(
-            F.col("_esrc").alias("v"), "regs"
+        contrib = state.join(edges, state.v == F.col("_eu")).select(
+            F.col("_ev").alias("v"), "regs"
         )
-        # ball(v) grows along v's OUT-edges on the working graph: v absorbs
-        # its successors' counters, i.e. contributions flow dst → src
+        extra_metrics: dict = {}
+        if combine:
+            # map-side register combine: partial max per (partition, v) with
+            # the same kernel, BEFORE the exchange — cuts shuffled blob rows
+            # from one-per-edge to one-per-touched-vertex-per-partition
+            pre = contrib.sortWithinPartitions("v").mapInPandas(
+                _merge_sorted(nparts, m), schema="v long, regs binary"
+            )
+            if measure_volume:
+                extra_metrics["contrib_rows"] = contrib.count()
+                pre = pre.localCheckpoint(eager=True)
+                extra_metrics["shuffled_rows"] = pre.count()
+            contrib = pre
+        elif measure_volume:
+            extra_metrics["contrib_rows"] = extra_metrics["shuffled_rows"] = (
+                contrib.count()
+            )
         allr = state.select("v", "regs").unionAll(contrib)
         merged = (
             allr.repartition(nparts, "v")
@@ -231,7 +272,7 @@ def hyperball(
         n_changed = int(
             new_state.agg(F.sum("changed").alias("c")).collect()[0]["c"] or 0
         )
-        met.record(t, n_changed, time.monotonic() - t0)
+        met.record(t, n_changed, time.monotonic() - t0, **extra_metrics)
         state = new_state.drop("changed")
         if n_changed == 0:
             break

@@ -104,3 +104,59 @@ def test_hyperball_matches_exact_on_wiki(spark):
         assert rel.mean() < bound, f"{col}: mean rel err {rel.mean():.4f}"
         assert np.quantile(rel, 0.95) < 3 * bound
     g.unpersist()
+
+
+def test_hyperball_combine_identical_and_cuts_shuffle(spark):
+    """Map-side register combine: register max is associative, so pre-merging
+    per (partition, v) before the exchange is bit-identical — and on a fan-out
+    graph (star center absorbs 50 spoke counters) it must shuffle strictly
+    fewer blob rows than one-per-edge."""
+    import pandas as pd
+
+    g = star_graph(spark, n=50)
+    m_on, m_off = SuperstepMetrics(), SuperstepMetrics()
+    a = (
+        hyperball(g, p=6, combine=True, measure_volume=True, metrics=m_on)
+        .toPandas().set_index("v").sort_index()
+    )
+    b = (
+        hyperball(g, p=6, combine=False, measure_volume=True, metrics=m_off)
+        .toPandas().set_index("v").sort_index()
+    )
+    pd.testing.assert_frame_equal(a, b)  # estimates bit-identical
+    raw = sum(r["contrib_rows"] for r in m_on.records)
+    shuffled = sum(r["shuffled_rows"] for r in m_on.records)
+    assert raw == sum(r["contrib_rows"] for r in m_off.records)
+    assert shuffled < raw, f"pre-merge did not reduce rows ({shuffled} vs {raw})"
+    g.unpersist()
+
+
+def test_hyperball_edge_side_never_exchanges(spark):
+    """The contribution join must key on the orientation whose persisted hash
+    partitioning matches the join key: only the state side may exchange."""
+    import contextlib
+    import io
+
+    from avgdist_rs_spark.sources.fixtures import barabasi_graph
+
+    g = barabasi_graph(spark, n=150, m=2, seed=9)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join regime (at sandbox sizes AQE broadcasts the
+        # edge side, which also has no edge shuffle but proves nothing)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        state = g.vertices().select("v", F.lit(b"\x00").alias("regs"))
+        edges = g.edges_t.select(F.col("src").alias("_eu"), F.col("dst").alias("_ev"))
+        j = state.join(edges, state.v == F.col("_eu"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        # the EXECUTED tree only: cut at the cached relation (its stored build
+        # lineage below is the one-time graph construction, not per-superstep)
+        tree = buf.getvalue().split("\n(1)")[0].split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in tree
+        shuffles = [ln for ln in tree.splitlines() if "Exchange" in ln]
+        assert len(shuffles) == 1  # the state side only — never the edge table
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        g.unpersist()
