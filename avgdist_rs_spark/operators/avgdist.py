@@ -566,6 +566,8 @@ def avgdist_unipairs(
 class EstimatorRun:
     iterations: list[dict] = field(default_factory=list)
     metrics: SuperstepMetrics | None = None
+    stopped_early: bool = False
+    seeds_bfsed: int = 0  # distinct seeds actually BFS'd (early-stop savings)
 
     @property
     def final(self) -> dict:
@@ -581,6 +583,9 @@ def avgdist_main(
     seed: int = 42,
     impl: str = "auto",
     max_batches: int | None = None,
+    stop_eps: float | None = None,
+    min_batches: int = 4,
+    fuse_batches: int = 16,
 ) -> EstimatorRun:
     """The main binary's batch loop (``src/main.rs:113-247``).
 
@@ -588,6 +593,16 @@ def avgdist_main(
     default → coverage-weighted K4 on the transposed graph), run forward BFS from
     all of them (one multi-source job), pool ``adist = Σdist/(Σcount·(n−1))``,
     update running mean/sample-std across batch means.
+
+    ``stop_eps`` is the estimator's convergence early-stop — the operational
+    reason the reference batches at all (it watches the running mean ± std
+    tighten, ``src/main.rs:206-240``): after ``min_batches`` contributing
+    batches, the loop ends as soon as the running STANDARD ERROR of the mean
+    (sample-std / √batches — the quantity that actually tightens as batches
+    accumulate) falls below ``stop_eps · |running-mean|``. On a 100 TB graph
+    this is the difference between a handful of BFS batches and the full
+    Hoeffding k. Batches already run are reported identically — early stop
+    never changes numbers, only how many batches exist.
     """
     n = graph.num_nodes
     k = k_formula(n, eps)
@@ -597,31 +612,44 @@ def avgdist_main(
     averages_dia: list[float] = []
 
     # Fused fast path for dummy/truth sampling: batches are independent RNG
-    # draws, so presample every batch, run ONE multi-source BFS job over the
-    # distinct seeds, and reassemble per-batch aggregates from the value→stats
-    # map (BFS is deterministic per seed). Identical numbers to the per-batch
-    # loop, minus per-batch Spark job latency — the reference's batch loop is
-    # a *reporting* cadence, not a data dependency (``src/main.rs:151-244``).
+    # draws, so presample every batch upfront (cheap RNG), then BFS the
+    # distinct seeds in chunks of ``fuse_batches`` batches as the loop
+    # consumes them — one multi-source job per chunk instead of per batch,
+    # and batches the early stop skips are never BFS'd at all. Identical
+    # numbers to the per-batch loop (BFS is deterministic per seed); the
+    # reference's batch loop is a *reporting* cadence, not a data dependency
+    # (``src/main.rs:151-244``).
     stats_by_seed: dict[int, tuple[int, int, int]] | None = None
     presampled: list[np.ndarray] = []
+    fetched_upto = 0
     if truth or dummy:
         remaining_pre = k
-        nb = 0
+        nbp = 0
         while remaining_pre > 0:
             cur = remaining_pre if truth else min(slot, remaining_pre)
             presampled.append(
                 np.arange(n, dtype=np.int64) if truth else sample_uniform(n, cur, rng)
             )
             remaining_pre -= cur
-            nb += 1
-            if max_batches is not None and nb >= max_batches:
+            nbp += 1
+            if max_batches is not None and nbp >= max_batches:
                 break
-        uniq = np.unique(np.concatenate(presampled)) if presampled else np.empty(0, np.int64)
-        pdf = _seed_stats(graph, uniq, impl).toPandas()
-        stats_by_seed = {
-            int(r.seed): (int(r.dia), int(r.dist_sum), int(r.reached))
-            for r in pdf.itertuples()
-        }
+        stats_by_seed = {}
+
+    def ensure_stats(upto: int) -> None:
+        """BFS the not-yet-fetched seeds of presampled batches [0, upto)."""
+        nonlocal fetched_upto
+        if upto <= fetched_upto:
+            return
+        seeds = np.concatenate(presampled[fetched_upto:upto])
+        fetched_upto = upto
+        fresh = np.setdiff1d(np.unique(seeds), np.fromiter(stats_by_seed, np.int64))
+        if fresh.size == 0:
+            return
+        run.seeds_bfsed += int(fresh.size)
+        pdf = _seed_stats(graph, fresh, impl).toPandas()
+        for r in pdf.itertuples():
+            stats_by_seed[int(r.seed)] = (int(r.dia), int(r.dist_sum), int(r.reached))
 
     remaining = k
     iteration = 1
@@ -636,6 +664,10 @@ def avgdist_main(
             cur = min(slot, remaining)
             sampled = sample_coverage_weighted(graph, cur, rng, impl=impl)
         if stats_by_seed is not None:
+            chunk = len(presampled) if stop_eps is None else min(
+                len(presampled), iteration - 1 + fuse_batches
+            )
+            ensure_stats(chunk)
             dia = max((stats_by_seed[int(x)][0] for x in sampled), default=0)
             s = sum(stats_by_seed[int(x)][1] for x in sampled)
             c = sum(stats_by_seed[int(x)][2] for x in sampled)
@@ -647,6 +679,7 @@ def avgdist_main(
                 F.sum("reached").alias("c"),
             ).collect()[0]
             dia, s, c = int(row["dia"] or 0), int(row["s"] or 0), int(row["c"] or 0)
+            run.seeds_bfsed += int(np.unique(np.asarray(sampled)).size)
         if c > 0:
             averages_dist.append(s / (c * (n - 1)))
             averages_dia.append(float(dia))
@@ -670,6 +703,14 @@ def avgdist_main(
         )
         remaining -= cur
         iteration += 1
+        if (
+            stop_eps is not None
+            and nb >= min_batches
+            and var == var
+            and math.sqrt(var / nb) < stop_eps * abs(mean)
+        ):
+            run.stopped_early = True
+            break
         if max_batches is not None and iteration > max_batches:
             break
     return run

@@ -110,6 +110,23 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     )
     extras["avgdist_estimate_norm"] = round(float(r.final.get("norm") or 0.0), 6)
 
+    # convergence early-stop (the reference's operational reason for batching):
+    # run to std-error convergence instead of a fixed batch cap; the extras
+    # record how many of the full Hoeffding-k batches were actually needed
+    from avgdist_rs_spark.operators.avgdist import k_formula
+
+    re_ = timed(
+        "avgdist_estimator_earlystop",
+        lambda: avgdist_main(
+            g, slot=64, eps=0.1, dummy=True, seed=42,
+            stop_eps=0.05, min_batches=4, fuse_batches=4,
+        ),
+    )
+    extras["earlystop_batches_run"] = len(re_.iterations)
+    extras["earlystop_batches_max"] = int(-(-k_formula(g.num_nodes, 0.1) // 64))
+    extras["earlystop_seeds_bfsed"] = int(re_.seeds_bfsed)
+    extras["earlystop_norm"] = round(float(re_.final.get("norm") or 0.0), 6)
+
     # the reference main binary's DEFAULT sampler: coverage-weighted (K4) —
     # backward BFS from uniform probes, CDF inversion, forward BFS
     rw = timed(

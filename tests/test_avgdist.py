@@ -206,3 +206,40 @@ def test_harmonic_weighted_duplicates(spark):
     assert set(rows[rows.seed == 0]["w"]) == {2}
     assert set(rows[rows.seed == 1]["w"]) == {1}
     g.unpersist()
+
+
+def test_early_stop_saves_bfs_and_matches_prefix(spark):
+    """stop_eps ends the batch loop once running std < stop_eps·mean: the
+    stopped run's iterations are a bit-identical PREFIX of the full run's
+    (early stop changes how many batches exist, never their numbers), and
+    strictly fewer seeds are BFS'd (the chunked fused path skips the rest)."""
+    g = FX.er1k_graph(spark)
+    full = A.avgdist_main(g, slot=10, eps=0.2, dummy=True, seed=7, impl="csr")
+    stopped = A.avgdist_main(
+        g, slot=10, eps=0.2, dummy=True, seed=7, impl="csr",
+        stop_eps=0.2, min_batches=4, fuse_batches=4,
+    )
+    assert stopped.stopped_early
+    nb = len(stopped.iterations)
+    assert nb < len(full.iterations)
+    assert stopped.iterations == full.iterations[:nb]
+    assert stopped.seeds_bfsed < full.seeds_bfsed
+    # convergence criterion actually held at the stop point (std error of mean)
+    last = stopped.final
+    assert last["std"] / np.sqrt(nb) < 0.2 * abs(last["mean"])
+    # and the early estimate is a usable approximation of the full-k one
+    assert last["norm"] == pytest.approx(full.final["norm"], rel=0.25)
+    g.unpersist()
+
+
+def test_early_stop_zero_eps_never_fires(spark):
+    """stop_eps=0 can never satisfy the strict inequality: the run must be
+    identical (iteration for iteration) to a no-early-stop run."""
+    g = FX.star_graph(spark, n=60)
+    run = A.avgdist_main(
+        g, slot=10, eps=0.3, dummy=True, seed=3, impl="csr", stop_eps=0.0
+    )
+    assert not run.stopped_early  # ran the full Hoeffding k
+    base = A.avgdist_main(g, slot=10, eps=0.3, dummy=True, seed=3, impl="csr")
+    assert run.iterations == base.iterations
+    g.unpersist()
