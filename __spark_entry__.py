@@ -48,6 +48,9 @@ _LSH_TABLES = 2  # multi-table LSH: candidates unioned across independent plane 
 _EMB_DIM = 64
 _SAMP_EPS, _SAMP_SLOT = 0.2, 16  # sampled-estimator defaults (k = ceil(log2 n / 2eps²))
 _PAIR_EPS, _PAIR_WINDOW = 0.3, 100  # pair-rejection: k at eps, draw window = 100·n
+_HB_P = 6  # HyperBall precision for the driver query (m=64 registers keeps the
+#           oracle's per-(vertex, step) register relation compact; the sketch
+#           math is bit-exact at ANY p — see operators/hyperball.py)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,6 +557,24 @@ def _q_avgdist_pairs(spark, sf):
     )
 
 
+def _q_hyperball_nf(spark, sf):
+    """Sketch-based neighbourhood function (HyperBall): deterministic splitmix64
+    registers + exact two-part HLL arithmetic make the whole superstep
+    evolution SQL-replayable — the oracle recomputes every vertex's register
+    state at every radius from the BFS closure and applies the identical
+    estimate formula, so reach/harmonic/dist_sum match bit-for-bit."""
+    from avgdist_rs_spark.operators.hyperball import hyperball
+
+    g = _graph(spark, sf)
+    hb = hyperball(g, p=_HB_P)
+    return _orig(g, hb, ["v"]).select(
+        "v",
+        F.round("reach_est", 6).alias("reach_est"),
+        F.round("harmonic_est", 6).alias("harmonic_est"),
+        F.round("dist_sum_est", 6).alias("dist_sum_est"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "eg_edges": _q_edges,
@@ -576,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_avgdist_sampled": _q_avgdist_sampled,
         "eg_avgdist_weighted": _q_avgdist_weighted,
         "eg_avgdist_pairs": _q_avgdist_pairs,
+        "eg_hyperball_nf": _q_hyperball_nf,
         "doc_dedup_exact": _q_dedup_exact,
         "doc_jaccard_pairs": _q_jaccard_pairs,
         "doc_minhash_signatures": _q_minhash_signatures,
@@ -757,6 +779,79 @@ SELECT r.rank, a.v, s.dia::BIGINT AS dia, s.ds::BIGINT AS dist_sum,
        s.rc::BIGINT AS reached, round(s.ds::DOUBLE / s.rc, 6) AS ratio
 FROM ranked r JOIN rv a ON a.id = r.vid JOIN sstat s ON s.v = a.v
 WHERE r.rank <= (SELECT k FROM ks)
+"""
+
+
+def _hyperball_sql() -> str:
+    """Bit-exact SQL replay of the HyperBall sketch (operators/hyperball.py).
+
+    Register init is splitmix64 on the dense id — 64-bit mod-2^64 arithmetic
+    rendered with UBIGINT + a HUGEINT 32-bit-split multiply; bit length via
+    length(bin(w)) (exact, like the engine's integer binary search). Register
+    state at radius t is the register-wise max over the BFS ball from the mind
+    closure; the HLL estimate uses the engine's exact two-part indicator sum
+    (hi/2^26 + lo/2^63 — every term and partial sum < 2^53, so both engines
+    round identically) with the shared alpha·m² and linear-counting literals.
+    Per-step increments accumulate in ascending-t order via list_sum (a
+    sequential left fold, same as the engine's per-superstep +=)."""
+    from avgdist_rs_spark.operators.hyperball import _alpha, lc_table
+
+    p, m = _HB_P, 1 << _HB_P
+    emm = repr(float(_alpha(m) * m * m))
+    lim = repr(float(2.5 * m))
+    lcv = lc_table(m)
+    lc_cases = " ".join(f"WHEN {z} THEN {float(lcv[z])!r}" for z in range(1, m + 1))
+    two64 = 18446744073709551616
+
+    def mm(a: str, b: int) -> str:
+        """(a * b) mod 2^64 for UBIGINT a, constant b — 32-bit-split in HUGEINT."""
+        bl, bh = b & 0xFFFFFFFF, b >> 32
+        return (
+            f"CAST(((({a}) & 4294967295)::HUGEINT * {bl}"
+            f" + (((({a}) & 4294967295)::HUGEINT * {bh}"
+            f" + ((({a}) >> 32)::HUGEINT * {bl})) % 4294967296) * 4294967296)"
+            f" % {two64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH RECURSIVE {_EG}, {_NN}, {_MIND.strip()}, {_RV},
+hbx0 AS (SELECT v, CAST((id::HUGEINT + 11400714819323198485) % {two64} AS UBIGINT) AS x0 FROM rv),
+hbx1 AS (SELECT v, {mm('xor(x0, x0 >> 30)', 0xBF58476D1CE4E5B9)} AS x1 FROM hbx0),
+hbx2 AS (SELECT v, {mm('xor(x1, x1 >> 27)', 0x94D049BB133111EB)} AS x2 FROM hbx1),
+vreg AS MATERIALIZED (
+  SELECT v, (x & {m - 1})::BIGINT AS j,
+         ({64 - p} - (CASE WHEN (x >> {p}) = 0 THEN 0
+                           ELSE length(bin(x >> {p})) END) + 1)::BIGINT AS rho
+  FROM (SELECT v, xor(x2, x2 >> 31) AS x FROM hbx2)),
+hbts AS (SELECT unnest(generate_series(0, (SELECT max(d) FROM mind)))::BIGINT AS t),
+hbmem AS MATERIALIZED (
+  SELECT v, w, d FROM mind UNION ALL SELECT v, v, 0 FROM eg_verts),
+ballreg AS MATERIALIZED (
+  SELECT mem.v, ts.t, r.j, max(r.rho) AS rho
+  FROM hbmem mem JOIN hbts ts ON mem.d <= ts.t JOIN vreg r ON r.v = mem.w
+  GROUP BY mem.v, ts.t, r.j),
+hbagg AS (
+  SELECT v, t, {m} - count(*) AS z,
+         sum(CASE WHEN rho <= 26 THEN 1::BIGINT << (26 - rho) ELSE 0 END)
+           + ({m} - count(*)) * 67108864 AS hi,
+         coalesce(sum(CASE WHEN rho > 26 THEN 1::BIGINT << (63 - rho) END), 0) AS lo
+  FROM ballreg GROUP BY v, t),
+hbest AS (
+  SELECT v, t, CASE WHEN e <= {lim} AND z > 0 THEN lc ELSE e END AS est FROM (
+    SELECT v, t, z,
+           {emm} / (hi / 67108864.0 + lo / 9223372036854775808.0) AS e,
+           CASE z {lc_cases} ELSE 0.0 END AS lc
+    FROM hbagg)),
+hbinc AS (
+  SELECT v, t, est, est - lag(est) OVER (PARTITION BY v ORDER BY t) AS inc
+  FROM hbest)
+SELECT v,
+  round(max(CASE WHEN t = (SELECT max(t) FROM hbts) THEN est END), 6) AS reach_est,
+  round(coalesce(list_sum(list(inc / t ORDER BY t) FILTER (WHERE t >= 1)), 0.0), 6)
+    AS harmonic_est,
+  round(coalesce(list_sum(list(inc * t ORDER BY t) FILTER (WHERE t >= 1)), 0.0), 6)
+    AS dist_sum_est
+FROM hbinc GROUP BY v
 """
 
 
@@ -1166,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "eg_avgdist_sampled": _avgdist_sampled_sql(),
         "eg_avgdist_weighted": _avgdist_weighted_sql(),
         "eg_avgdist_pairs": _avgdist_pairs_sql(),
+        "eg_hyperball_nf": _hyperball_sql(),
         "doc_dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS dup_count "
             "FROM documents GROUP BY md5(text)"

@@ -42,6 +42,7 @@ golden comparisons (``bfs_csr(transposed=True, capture=True).groupBy('v')``)
 
 from __future__ import annotations
 
+import math
 import time
 from collections.abc import Iterator
 
@@ -60,14 +61,44 @@ def _alpha(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7)
 
 
+_LC_TABLES: dict[int, np.ndarray] = {}
+
+
+def lc_table(m: int) -> np.ndarray:
+    """Linear-counting values m·ln(m/z) for z = 1..m, indexed by zero-count.
+
+    A shared literal table (math.log, not a vectorized np.log whose SIMD
+    rounding may differ by 1 ulp) — the oracle SQL embeds these exact floats,
+    so both engines take identical branches with identical values."""
+    t = _LC_TABLES.get(m)
+    if t is None:
+        t = np.array([0.0] + [m * math.log(m / z) for z in range(1, m + 1)])
+        _LC_TABLES[m] = t
+    return t
+
+
 def _estimate_rows(regs: np.ndarray, m: int) -> np.ndarray:
-    """Vectorized HLL estimate for a (rows, m) uint8 register matrix."""
-    e = _alpha(m) * m * m / np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
-    zeros = (regs == 0).sum(axis=1)
+    """Vectorized HLL estimate for a (rows, m) uint8 register matrix.
+
+    Every fp step is CROSS-ENGINE EXACT, so a SQL oracle replaying the formula
+    reproduces identical bits: the indicator sum Z = Σ 2^-reg is computed as
+    two exact integer partial sums hi = Σ_{r≤26} 2^(26−r) (registers 0 count
+    here as 2^26) and lo = Σ_{r>26} 2^(63−r) — every term and partial sum is
+    < 2^53, hence exact in int64 AND in float64 — leaving exactly ONE rounded
+    addition (hi/2^26 + lo/2^63) and one rounded division; linear counting
+    reads the shared :func:`lc_table`. Valid for register values ≤ 63, i.e.
+    any precision p ≥ 2.
+    """
+    r = regs.astype(np.int64)
+    hi = np.where(r <= 26, np.int64(1) << np.maximum(26 - r, 0), 0).sum(axis=1)
+    lo = np.where(r > 26, np.int64(1) << np.maximum(63 - r, 0), 0).sum(axis=1)
+    z = hi.astype(np.float64) / np.float64(2**26) + lo.astype(np.float64) / np.float64(
+        2**63
+    )
+    e = (_alpha(m) * m * m) / z
+    zeros = (r == 0).sum(axis=1)
     small = (e <= 2.5 * m) & (zeros > 0)
-    with np.errstate(divide="ignore"):
-        lc = m * np.log(m / np.maximum(zeros, 1))
-    return np.where(small, lc, e)
+    return np.where(small, lc_table(m)[zeros], e)
 
 
 def _init_regs(v: np.ndarray, p: int) -> np.ndarray:
