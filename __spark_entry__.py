@@ -275,6 +275,18 @@ def _q_simple_paths(spark, sf):
     )
 
 
+def _q_simple_path_count(spark, sf):
+    """K8 count-only mode: the set-sharing DP (reference zdd_all_sols,
+    src/lib.rs:618-692) — counts without materializing any path."""
+    from avgdist_rs_spark.operators.simpath import count_simple_paths_edges
+
+    ev = _events(spark, sf)
+    t0 = ev.where(F.col("event_id") == 0).collect()[0]["event_type"]
+    edges = event_edges(ev)
+    c = count_simple_paths_edges(spark, edges, "E:0", f"H:{t0}", max_len=16)
+    return spark.createDataFrame([(c,)], "n_paths long")
+
+
 def _q_harmonic_histogram(spark, sf):
     """A8 + O1: bucketed centrality histogram (bucket = floor(c·1e9))."""
     from avgdist_rs_spark.operators.centrality import centrality_histogram, harmonic_centrality
@@ -592,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_bfs_from_seed": _q_bfs_from_seed,
         "eg_reach_counts": _q_reach_counts,
         "eg_simple_paths": _q_simple_paths,
+        "eg_simple_path_count": _q_simple_path_count,
         "eg_harmonic_histogram": _q_harmonic_histogram,
         "eg_closeness_histogram": _q_closeness_histogram,
         "eg_avgdist_sampled": _q_avgdist_sampled,
@@ -1241,6 +1254,19 @@ def oracle_sql() -> dict[str, str]:
             "    AND len(p.path) <= 16) "
             "SELECT array_to_string(path, '->') AS path_str, "
             "(len(path) - 1)::BIGINT AS hops FROM p WHERE tail = (SELECT t FROM tgt)"
+        ),
+        "eg_simple_path_count": (
+            # the oracle counts by enumeration (fine at sf scales); the engine
+            # counts by the set-sharing DP — equality verifies the DP
+            f"WITH RECURSIVE {_EG}, "
+            "tgt AS MATERIALIZED (SELECT 'H:' || event_type AS t FROM events WHERE event_id = 0), "
+            "p(tail, path) AS ("
+            "  SELECT 'E:0', ['E:0'] "
+            "  UNION ALL "
+            "  SELECT e.dst, p.path || [e.dst] FROM p JOIN eg_edges e ON e.src = p.tail "
+            "  WHERE NOT list_contains(p.path, e.dst) AND p.tail <> (SELECT t FROM tgt) "
+            "    AND len(p.path) <= 16) "
+            "SELECT count(*)::BIGINT AS n_paths FROM p WHERE tail = (SELECT t FROM tgt)"
         ),
         "eg_harmonic_histogram": (
             f"WITH RECURSIVE {_EG}, {_NN}, {_MIND}, "

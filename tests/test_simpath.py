@@ -55,3 +55,52 @@ def test_max_len_bound(spark):
     )
     got = simple_paths_edges(spark, e, "a", "c", max_len=1).collect()
     assert len(got) == 1 and got[0]["path"] == ["a", "c"]
+
+
+def test_count_dp_matches_enumeration(spark):
+    """The set-sharing DP counts exactly what enumeration enumerates."""
+    g = barabasi_graph(spark, n=60, m=2, seed=7)
+    want = simple_paths(g, 59, 0).count()
+    assert count_simple_paths(g, 59, 0) == want
+    g.unpersist()
+
+
+def test_count_dp_string_keys(spark):
+    from avgdist_rs_spark.operators.simpath import count_simple_paths_edges
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a")], "src string, dst string"
+    )
+    assert count_simple_paths_edges(spark, e, "a", "c") == 2
+
+
+def test_count_dp_dense_graph_where_enumeration_explodes(spark):
+    """K12: ~9.86M simple paths s→t — enumeration would checkpoint millions of
+    path rows per level; the DP's state space is the (tail, set) lattice,
+    ~10^4 rows, and finishes in seconds. Count checked against the closed
+    form sum_k P(n-2, k)."""
+    import math
+
+    from avgdist_rs_spark.plans.graph import GraphFrame
+
+    n = 12
+    ids = spark.range(n)
+    edges = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    g = GraphFrame.from_edges(edges, num_nodes=n, dedup=False)
+    want = sum(math.perm(n - 2, k) for k in range(n - 1))
+    assert want > 5_000_000  # enumeration really would explode
+    got = count_simple_paths(g, 0, n - 1)
+    assert got == want
+    g.unpersist()
+
+
+def test_count_dp_max_states_guard(spark):
+    g = barabasi_graph(spark, n=60, m=2, seed=7)
+    with pytest.raises(RuntimeError, match="max_states"):
+        count_simple_paths(g, 59, 0, max_states=1)
+    g.unpersist()
