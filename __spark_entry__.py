@@ -262,6 +262,33 @@ def _q_bfs_from_seed(spark, sf):
     )
 
 
+def _q_bfs_bucketed(spark, sf):
+    """S6 + preprocessed on-disk graph, end to end: persist the eg graph as
+    bucketed+sorted Parquet (the engine's ``webgraph from arcs`` analog),
+    REOPEN it, and run the distributed-frontier BFS against the reopened
+    tables — the superstep join reads the bucketed scan with no edge-side
+    Exchange (plan-asserted in tests/test_csr_shards.py); results are checked
+    against the same closure oracle as eg_bfs_from_seed."""
+    import os
+
+    from avgdist_rs_spark.operators.bfs import bfs_frontier
+    from avgdist_rs_spark.plans.graph import GraphFrame as GF
+
+    g = _graph(spark, sf)
+    key = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    name = f"egb_{key}"
+    here = os.path.dirname(os.path.abspath(__file__))  # repo root, not cwd
+    g.save_bucketed(name, os.path.join(here, "spark-warehouse", f"{name}_ext"))
+    lg = GF.load_bucketed(spark, name)
+    seed = lg.nodes.where(F.col("orig") == "E:0").collect()[0]["id"]
+    seeds = spark.createDataFrame([(int(seed),)], "seed long")
+    vis = bfs_frontier(lg, seeds).filter(F.col("dist") > 0)
+    out = vis.join(lg.nodes.withColumnRenamed("id", "v"), "v").select(
+        F.col("orig").alias("v"), F.col("dist").cast("long").alias("dist")
+    )
+    return out
+
+
 def _q_simple_paths(spark, sf):
     """K8: all simple paths from event 0 to its own event_type hub."""
     from avgdist_rs_spark.operators.simpath import simple_paths_edges
@@ -602,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_closeness": _q_closeness,
         "eg_lin_closeness": _q_lin_closeness,
         "eg_bfs_from_seed": _q_bfs_from_seed,
+        "eg_bfs_bucketed": _q_bfs_bucketed,
         "eg_reach_counts": _q_reach_counts,
         "eg_simple_paths": _q_simple_paths,
         "eg_simple_path_count": _q_simple_path_count,
@@ -1236,6 +1264,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM mind GROUP BY w"
         ),
         "eg_bfs_from_seed": (
+            f"WITH RECURSIVE {_EG}, {_MIND} "
+            "SELECT w AS v, d::BIGINT AS dist FROM mind WHERE v = 'E:0'"
+        ),
+        "eg_bfs_bucketed": (
+            # identical semantics to eg_bfs_from_seed — the engine side runs
+            # against a REOPENED bucketed on-disk graph instead
             f"WITH RECURSIVE {_EG}, {_MIND} "
             "SELECT w AS v, d::BIGINT AS dist FROM mind WHERE v = 'E:0'"
         ),

@@ -1,0 +1,327 @@
+"""BVGraph ingestion bridge — read the reference's preprocessed binaries.
+
+The reference preprocesses every dataset into WebGraph BVGraph pairs
+(``data/*/webgraph-from.sh``: ``webgraph from arcs`` → ``.graph`` +
+``.properties`` + ``.offsets``/``.ef``) and the engine previously had no path
+in for a user holding such data. This is a from-scratch decoder of the PUBLIC
+BVGraph format (Boldi & Vigna, "The WebGraph Framework I: Compression
+Techniques", WWW'04 — instantaneous codes γ/δ/ζ_k, reference lists with copy
+blocks, interval runs, zeta-coded residual gaps), covering the default
+compression parameters every reference dataset uses
+(``compressionflags=`` empty, windowsize=7, minintervallength=4, zetak=3,
+big-endian, version 0).
+
+Scale shape: the bitstream is sequential ONLY within a reference window —
+``.offsets`` (γ-coded bit-position gaps) gives random access per node, so the
+distributed reader splits the node range, and each task decodes its slice
+after warming up ``windowsize`` nodes before the boundary (references never
+reach further back). The driver touches only the offsets (one γ-stream scan)
+and the split table; the ``.graph`` payload is read and decoded inside
+``mapInPandas`` tasks. Decoded output is validated in tests against the
+reference's own CSV edge lists for the SAME graphs (both orientations).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+class BitReader:
+    """Big-endian MSB-first bit reader over a bytes buffer (the WebGraph
+    InputBitStream conventions: unary = count of 0-bits before the next 1)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, bit_pos: int = 0) -> None:
+        self.data = data
+        self.pos = bit_pos
+
+    def read_bit(self) -> int:
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        """n-bit big-endian integer."""
+        out = 0
+        pos = self.pos
+        data = self.data
+        remaining = n
+        while remaining > 0:
+            byte_i = pos >> 3
+            bit_i = pos & 7
+            avail = 8 - bit_i
+            take = avail if avail < remaining else remaining
+            chunk = (data[byte_i] >> (avail - take)) & ((1 << take) - 1)
+            out = (out << take) | chunk
+            pos += take
+            remaining -= take
+        self.pos = pos
+        return out
+
+    def read_unary(self) -> int:
+        n = 0
+        pos = self.pos
+        data = self.data
+        while True:
+            byte = data[pos >> 3]
+            bit_i = pos & 7
+            rest = byte & ((1 << (8 - bit_i)) - 1)
+            if rest == 0:
+                n += 8 - bit_i
+                pos += 8 - bit_i
+                continue
+            lead = (8 - bit_i) - rest.bit_length()
+            n += lead
+            pos += lead + 1  # consume the terminating 1
+            self.pos = pos
+            return n
+
+    # --- instantaneous codes (natural numbers ≥ 0, WebGraph conventions) ----
+    def read_gamma(self) -> int:
+        msb = self.read_unary()
+        return ((1 << msb) | self.read_bits(msb)) - 1
+
+    def read_delta(self) -> int:
+        msb = self.read_gamma()
+        return ((1 << msb) | self.read_bits(msb)) - 1
+
+    def read_zeta(self, k: int) -> int:
+        h = self.read_unary()
+        left = 1 << (h * k)
+        m = self.read_bits(h * k + k - 1)
+        if m < left:
+            return m + left - 1
+        return (m << 1) + self.read_bit() - 1
+
+
+def _nat2int(x: int) -> int:
+    """WebGraph Fast.nat2int zigzag: 0,1,2,3,... → 0,−1,1,−2,..."""
+    return (x >> 1) ^ -(x & 1)
+
+
+def read_properties(basename: str) -> dict:
+    props: dict[str, str] = {}
+    with open(basename + ".properties") as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#") and "=" in line:
+                key, val = line.split("=", 1)
+                props[key.strip()] = val.strip()
+    if props.get("version", "0") != "0":
+        raise ValueError(f"unsupported BVGraph version {props.get('version')}")
+    if props.get("compressionflags", ""):
+        raise ValueError(
+            f"unsupported compressionflags={props['compressionflags']} "
+            "(only the default γ/γ/γ/ζ_k layout is implemented)"
+        )
+    return props
+
+
+def _decode_node(
+    r: BitReader,
+    x: int,
+    get_list,
+    zetak: int,
+    min_interval: int,
+    has_window: bool,
+) -> list[int]:
+    """Decode node x's successor list.
+
+    ``get_list(y)`` resolves a referenced node's successor list — parsing is
+    NOT self-delimiting without it (the implicit final copy block extends to
+    the end of the referent's list, so the residual count depends on the
+    referent's length)."""
+    d = r.read_gamma()
+    if d == 0:
+        return []
+    copied: list[int] = []
+    if has_window:
+        ref = r.read_unary()  # references default to UNARY coding (both the
+        # Java BVGraph STD flags and webgraph-rs CompFlags defaults)
+        if ref > 0:
+            ref_list = get_list(x - ref)
+            block_count = r.read_gamma()
+            blocks = []
+            for i in range(block_count):
+                blocks.append(r.read_gamma() + (0 if i == 0 else 1))
+            # alternating copied/skipped runs; the implicit final block is
+            # copied iff block_count is even
+            pos = 0
+            for i, blk in enumerate(blocks):
+                if i % 2 == 0:
+                    copied.extend(ref_list[pos : pos + blk])
+                pos += blk
+            if block_count % 2 == 0:
+                copied.extend(ref_list[pos:])
+    extra_count = d - len(copied)
+    intervals: list[int] = []
+    residuals: list[int] = []
+    if extra_count > 0:
+        if min_interval >= 0:
+            interval_count = r.read_gamma()
+            prev = 0
+            for i in range(interval_count):
+                if i == 0:
+                    left = x + _nat2int(r.read_gamma())
+                else:
+                    left = prev + r.read_gamma() + 1
+                length = r.read_gamma() + min_interval
+                intervals.extend(range(left, left + length))
+                prev = left + length
+                extra_count -= length
+        if extra_count > 0:
+            prev = x + _nat2int(r.read_zeta(zetak))
+            residuals.append(prev)
+            for _ in range(extra_count - 1):
+                prev = prev + r.read_zeta(zetak) + 1
+                residuals.append(prev)
+    out = sorted(copied + intervals + residuals)
+    if len(out) != d:
+        raise ValueError(f"BVGraph decode error at node {x}: {len(out)} != {d}")
+    return out
+
+
+def decode_range(
+    graph_bytes: bytes,
+    offsets,
+    lo: int,
+    hi: int,
+    zetak: int = 3,
+    min_interval: int = 4,
+    windowsize: int = 7,
+    offsets_base: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode successor lists for nodes [lo, hi) with RANDOM ACCESS for
+    back-references: references can chain up to maxrefcount × windowsize
+    nodes before ``lo``, and a record is not even self-delimiting without its
+    referent's length — so references to nodes outside the streamed range are
+    resolved by jumping to their bit offset (memoized, recursion depth ≤
+    maxrefcount). ``offsets[i]`` is the bit position of node
+    ``offsets_base + i``. Returns (srcs, dsts) int64 arrays."""
+
+    def bitpos(y: int) -> int:
+        return int(offsets[y - offsets_base])
+
+    cache: dict[int, list[int]] = {}
+
+    def get_list(y: int) -> list[int]:
+        got = cache.get(y)
+        if got is None:
+            rr = BitReader(graph_bytes, bitpos(y))
+            got = _decode_node(rr, y, get_list, zetak, min_interval, windowsize > 0)
+            cache[y] = got
+        return got
+
+    r = BitReader(graph_bytes, bitpos(lo))
+    srcs: list[np.ndarray] = []
+    dsts: list[np.ndarray] = []
+    for x in range(lo, hi):
+        succ = _decode_node(r, x, get_list, zetak, min_interval, windowsize > 0)
+        cache[x] = succ
+        cache.pop(x - windowsize, None)  # in-range refs stay one window deep
+        if succ:
+            dd = np.asarray(succ, dtype=np.int64)
+            srcs.append(np.full(dd.size, x, dtype=np.int64))
+            dsts.append(dd)
+    if not srcs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(srcs), np.concatenate(dsts)
+
+
+def read_offsets(basename: str, n: int) -> np.ndarray:
+    """Bit offsets of each node's successor list (n+1 values): the
+    ``.offsets`` sidecar is a γ-stream of gaps (WebGraph writeOffsets)."""
+    with open(basename + ".offsets", "rb") as f:
+        r = BitReader(f.read())
+    offs = np.zeros(n + 1, dtype=np.int64)
+    acc = 0
+    for i in range(n + 1):
+        acc += r.read_gamma()
+        offs[i] = acc
+    return offs
+
+
+def decode_bvgraph(basename: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """Sequential full decode → (srcs, dsts, num_nodes). Driver-side utility
+    for small graphs and tests; the Spark reader is :func:`read_bvgraph`."""
+    props = read_properties(basename)
+    n = int(props["nodes"])
+    with open(basename + ".graph", "rb") as f:
+        data = f.read()
+    s, d = decode_range(
+        data, read_offsets(basename, n), 0, n,
+        zetak=int(props.get("zetak", 3)),
+        min_interval=int(props.get("minintervallength", 4)),
+        windowsize=int(props.get("windowsize", 7)),
+    )
+    return s, d, n
+
+
+def read_bvgraph(
+    spark: SparkSession, basename: str, num_splits: int | None = None
+) -> tuple[DataFrame, int]:
+    """Distributed BVGraph read → (edges DataFrame (src, dst), num_nodes).
+
+    The driver scans only the γ-coded ``.offsets`` sidecar to place split
+    boundaries; each task independently decodes its node range from the
+    ``.graph`` payload, warming up ``windowsize`` nodes before its boundary
+    so copy-references resolve without cross-task communication. O(m/splits)
+    work per task, no sequential whole-file pass anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    props = read_properties(basename)
+    n = int(props["nodes"])
+    zetak = int(props.get("zetak", 3))
+    min_interval = int(props.get("minintervallength", 4))
+    windowsize = int(props.get("windowsize", 7))
+    maxref = int(props.get("maxrefcount", 3))
+    p = num_splits or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = max(1, min(p, n))
+    offs = read_offsets(basename, n)
+    bounds = [int(round(i * n / p)) for i in range(p + 1)]
+    rows = []
+    for i in range(p):
+        lo, hi = bounds[i], bounds[i + 1]
+        if lo >= hi:
+            continue
+        # reference chains reach ≤ maxrefcount·windowsize nodes back — each
+        # task carries exactly the offsets slice its range can ever touch
+        base = max(0, lo - maxref * windowsize)
+        rows.append((lo, hi, base, offs[base : hi + 1].tobytes()))
+    graph_path = os.path.abspath(basename + ".graph")
+    splits = spark.createDataFrame(
+        rows, "lo long, hi long, base long, offs binary"
+    ).repartition(len(rows))
+
+    def decode(batches):
+        with open(graph_path, "rb") as f:
+            data = f.read()
+        for pdf in batches:
+            for row in pdf.itertuples():
+                o = np.frombuffer(row.offs, dtype=np.int64)
+                s, d = decode_range(
+                    data, o, int(row.lo), int(row.hi),
+                    zetak, min_interval, windowsize, offsets_base=int(row.base),
+                )
+                if s.size:
+                    yield pd.DataFrame({"src": s, "dst": d})
+
+    edges = splits.mapInPandas(decode, schema="src long, dst long")
+    return edges.select(F.col("src"), F.col("dst")), n
+
+
+def bvgraph_graphframe(spark: SparkSession, basename: str, num_splits: int | None = None):
+    """Open a BVGraph basename as a :class:`~..plans.graph.GraphFrame` — the
+    direct ingestion path for a user holding the reference's preprocessed
+    binaries (``--num-nodes`` semantics preserved: isolated trailing vertices
+    count). BVGraph arcs are already distinct, so the dedup shuffle is skipped."""
+    from ..plans.graph import GraphFrame
+
+    edges, n = read_bvgraph(spark, basename, num_splits)
+    return GraphFrame.from_edges(edges, num_nodes=n, dedup=False)

@@ -64,6 +64,17 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     emb = em._emb(spark, sf_dir)
     events = em._events(spark, sf_dir)
 
+    # UNTIMED warm-up: JVM/codegen spin-up, Python-worker pool start, and the
+    # first cold read of every input land here instead of inside the first
+    # timed query — the round-2 driver run charged ~13 s of one-time warmth
+    # to graph_build (16.5 s single-run vs 3.6 s committed median)
+    for df in (docs, emb, events):
+        df.count()
+    spark.range(1_000_000).repartition(8).select(F.sum(F.col("id"))).collect()
+    spark.createDataFrame([(1,)], "x long").mapInPandas(
+        lambda it: it, schema="x long"
+    ).count()
+
     g = timed("graph_build", lambda: em._graph(spark, sf_dir))
 
     pr_met = SuperstepMetrics(name="pagerank")
