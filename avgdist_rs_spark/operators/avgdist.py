@@ -611,7 +611,34 @@ def avgdist_main(
     averages_dist: list[float] = []
     averages_dia: list[float] = []
 
-    # Fused fast path for dummy/truth sampling: batches are independent RNG
+    if truth:
+        # exact mode is ONE batch of every vertex: aggregate it in Spark
+        # (an n-length driver seed array / stats dict would be multi-GB at
+        # the reference's 668M-vertex scale)
+        seeds_df = graph.vertices().select(F.col("v").alias("seed"))
+        row = _seed_stats(graph, seeds_df, impl).agg(
+            F.max("dia").alias("dia"),
+            F.sum("dist_sum").alias("s"),
+            F.sum("reached").alias("c"),
+        ).collect()[0]
+        dia, s, c = int(row["dia"] or 0), int(row["s"] or 0), int(row["c"] or 0)
+        run.seeds_bfsed = n
+        adist = s / (c * (n - 1)) if c else None
+        run.iterations.append(
+            {
+                "iteration": 1,
+                "batch_size": k,
+                "adist": adist,
+                "mean": adist if adist is not None else float("nan"),
+                "norm": adist * (n - 1) if adist is not None else float("nan"),
+                "std": None,
+                "diameter_mean": float(dia) if c else float("nan"),
+                "diameter_max": dia,
+            }
+        )
+        return run
+
+    # Fused fast path for dummy sampling: batches are independent RNG
     # draws, so presample every batch upfront (cheap RNG), then BFS the
     # distinct seeds in chunks of ``fuse_batches`` batches as the loop
     # consumes them — one multi-source job per chunk instead of per batch,
@@ -622,14 +649,12 @@ def avgdist_main(
     stats_by_seed: dict[int, tuple[int, int, int]] | None = None
     presampled: list[np.ndarray] = []
     fetched_upto = 0
-    if truth or dummy:
+    if dummy:
         remaining_pre = k
         nbp = 0
         while remaining_pre > 0:
-            cur = remaining_pre if truth else min(slot, remaining_pre)
-            presampled.append(
-                np.arange(n, dtype=np.int64) if truth else sample_uniform(n, cur, rng)
-            )
+            cur = min(slot, remaining_pre)
+            presampled.append(sample_uniform(n, cur, rng))
             remaining_pre -= cur
             nbp += 1
             if max_batches is not None and nbp >= max_batches:
@@ -654,10 +679,7 @@ def avgdist_main(
     remaining = k
     iteration = 1
     while remaining > 0:
-        if truth:
-            cur = remaining
-            sampled = presampled[iteration - 1]
-        elif dummy:
+        if dummy:
             cur = min(slot, remaining)
             sampled = presampled[iteration - 1]
         else:
