@@ -29,9 +29,12 @@ vertices):
    rows from one-per-edge to one-per-touched-vertex), then repartition(v) +
    sortWithinPartitions + ``mapInPandas`` running ``np.maximum.reduceat``
    over group boundaries, with group carry-over across Arrow batches;
-3. estimate/accumulator update = co-partitioned join with the previous state
-   + one vectorized pass (matrix HLL estimation, bytes-equality change
-   detection).
+3. merge and estimate/accumulator update are FUSED into one pass: state rows
+   ride the union carrying their accumulators (flagged), so the group reduce
+   sees both the old registers (change detection) and the old estimates in
+   place — no separate merged ⋈ state join, which would re-exchange the full
+   register-blob table twice per superstep (matrix HLL estimation,
+   bytes-equality change detection).
 
 Converged when no register changes (registers are monotone and bounded, so
 this is an exact fixpoint). Direction: the default (forward edges) produces
@@ -237,32 +240,78 @@ def hyperball(
             .localCheckpoint(eager=True)
         )
 
-    def update(batches: Iterator[pd.DataFrame], t: int) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            new = np.frombuffer(b"".join(pdf["regs_new"]), dtype=np.uint8).reshape(-1, m)
-            old = np.frombuffer(b"".join(pdf["regs"]), dtype=np.uint8).reshape(-1, m)
-            chg = (new != old).any(axis=1)
-            nf = pdf["nf"].to_numpy(dtype=np.float64).copy()
-            h = pdf["harmonic"].to_numpy(dtype=np.float64).copy()
-            ds = pdf["dist_sum"].to_numpy(dtype=np.float64).copy()
+    def merge_update(batches: Iterator[pd.DataFrame], t: int) -> Iterator[pd.DataFrame]:
+        """Fused group reduce + estimate update over rows sorted by (v).
+
+        Input: the union of the full state (``is_state=1``, carrying
+        accumulators) and the superstep's contributions (``is_state=0``),
+        hash-partitioned and sorted on ``v`` — every group holds EXACTLY ONE
+        state row (state is a keyed vector). Per group: new registers =
+        element-wise max over all rows; old registers/estimates come from the
+        state row, so change detection and the HLL increment update happen in
+        the same pass with no second join. Groups can span Arrow batches —
+        the last (possibly incomplete) group is carried forward.
+        """
+
+        def reduce_block(v, mat, flag, nf, h, ds, bounds):
+            merged = np.maximum.reduceat(mat, bounds, axis=0)
+            sidx = np.flatnonzero(flag == 1)  # one per group, in group order
+            if len(sidx) != len(bounds):  # keyed-state invariant violated
+                raise RuntimeError(
+                    f"hyperball: {len(sidx)} state rows for {len(bounds)} groups"
+                )
+            old = mat[sidx]
+            nnf = nf[sidx].copy()
+            nh = h[sidx].copy()
+            nds = ds[sidx].copy()
+            chg = (merged != old).any(axis=1)
             if chg.any():
-                est = _estimate_rows(new[chg], m)
-                inc = est - nf[chg]
-                h[chg] += inc / t
-                ds[chg] += inc * t
-                nf[chg] = est
-            yield pd.DataFrame(
+                est = _estimate_rows(merged[chg], m)
+                inc = est - nnf[chg]
+                nh[chg] += inc / t
+                nds[chg] += inc * t
+                nnf[chg] = est
+            return pd.DataFrame(
                 {
-                    "v": pdf["v"],
-                    "regs": pdf["regs_new"],
-                    "nf": nf,
-                    "harmonic": h,
-                    "dist_sum": ds,
+                    "v": v[bounds],
+                    "regs": [r.tobytes() for r in merged],
+                    "nf": nnf,
+                    "harmonic": nh,
+                    "dist_sum": nds,
                     "changed": chg.astype(np.int64),
                 }
             )
+
+        carry: tuple | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = pdf["v"].to_numpy(dtype=np.int64)
+            mat = np.frombuffer(b"".join(pdf["regs"]), dtype=np.uint8).reshape(-1, m)
+            flag = pdf["is_state"].to_numpy(dtype=np.int64)
+            nf = pdf["nf"].to_numpy(dtype=np.float64)
+            h = pdf["harmonic"].to_numpy(dtype=np.float64)
+            ds = pdf["dist_sum"].to_numpy(dtype=np.float64)
+            if carry is not None:
+                v = np.concatenate([carry[0], v])
+                mat = np.vstack([carry[1], mat])
+                flag = np.concatenate([carry[2], flag])
+                nf = np.concatenate([carry[3], nf])
+                h = np.concatenate([carry[4], h])
+                ds = np.concatenate([carry[5], ds])
+            bounds = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
+            if len(bounds) > 1:
+                last = bounds[-1]
+                yield reduce_block(
+                    v[:last], mat[:last], flag[:last], nf[:last], h[:last],
+                    ds[:last], bounds[:-1],
+                )
+            else:
+                last = bounds[-1]
+            carry = (v[last:], mat[last:], flag[last:], nf[last:], h[last:], ds[last:])
+        if carry is not None and carry[0].size:
+            v, mat, flag, nf, h, ds = carry
+            yield reduce_block(v, mat, flag, nf, h, ds, np.array([0]))
 
     for t in range(start_t + 1, max_supersteps + 1):
         t0 = time.monotonic()
@@ -286,18 +335,26 @@ def hyperball(
             extra_metrics["contrib_rows"] = extra_metrics["shuffled_rows"] = (
                 contrib.count()
             )
-        allr = state.select("v", "regs").unionAll(contrib)
-        merged = (
+        allr = state.select(
+            "v", "regs", "nf", "harmonic", "dist_sum", F.lit(1).alias("is_state")
+        ).unionAll(
+            contrib.select(
+                "v",
+                "regs",
+                F.lit(0.0).alias("nf"),
+                F.lit(0.0).alias("harmonic"),
+                F.lit(0.0).alias("dist_sum"),
+                F.lit(0).alias("is_state"),
+            )
+        )
+        step_t = t
+        new_state = (
             allr.repartition(nparts, "v")
             .sortWithinPartitions("v")
-            .mapInPandas(_merge_sorted(nparts, m), schema="v long, regs binary")
-            .withColumnRenamed("regs", "regs_new")
-        )
-        joined = merged.join(state, "v")
-        step_t = t
-        new_state = joined.mapInPandas(
-            lambda it, _t=step_t: update(it, _t),
-            schema=state_schema + ", changed long",
+            .mapInPandas(
+                lambda it, _t=step_t: merge_update(it, _t),
+                schema=state_schema + ", changed long",
+            )
         )
         new_state = ckpt.step(new_state, t, wall_s=time.monotonic() - t0)
         n_changed = int(
