@@ -251,6 +251,66 @@ def _q_lin_closeness(spark, sf):
     return _orig(g, c, ["v"]).select("v", F.round("closeness", 9).alias("lin"))
 
 
+def _q_results_roundtrip(spark, sf):
+    """S6 results sink END-TO-END: compute → write_results (Parquet) →
+    read_table back → return. Proves the durable sink + reader pair the way
+    eg_bfs_bucketed proves the bucketed graph store (reference prints results
+    to stdout, src/main.rs:232-240; a durable table is the cluster analog)."""
+    import tempfile
+
+    from avgdist_rs_spark.sources.tables import read_table, write_results
+
+    g = _graph(spark, sf)
+    deg = g.edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("out_degree"))
+    res = _orig(g, deg, ["v"]).select("v", F.col("out_degree").cast("long"))
+    out = write_results(res, tempfile.mkdtemp(prefix="eg_results_"), "out_degrees")
+    return read_table(spark, out)
+
+
+def _q_telemetry_bfs(spark, sf):
+    """S7 telemetry sink END-TO-END: per-superstep metrics written as JSONL by
+    write_metrics, read back as a table. Frontier sizes per BFS level are a
+    deterministic function of the graph (the wall-clock fields are dropped),
+    so the round-tripped telemetry is value-verifiable against the oracle's
+    distance closure (reference per-BFS elapsed prints, src/main.rs:72,192)."""
+    import tempfile
+
+    from avgdist_rs_spark.operators.bfs import bfs_frontier
+    from avgdist_rs_spark.sources.tables import write_metrics
+    from avgdist_rs_spark.streaming.superstep import SuperstepMetrics
+
+    g = _graph(spark, sf)
+    seed = g.nodes.where(F.col("orig") == "E:0").collect()[0]["id"]
+    seeds = spark.createDataFrame([(int(seed),)], "seed long")
+    met = SuperstepMetrics(name="bfs_telemetry")
+    bfs_frontier(g, seeds, metrics=met)
+    path = write_metrics(met, tempfile.mkdtemp(prefix="eg_metrics_"), run_id="eg")
+    raw = spark.read.json(path)
+    step = raw.select(F.explode("per_superstep").alias("s")).select(
+        F.col("s.superstep").cast("long").alias("superstep"),
+        F.col("s.rows").cast("long").alias("frontier_size"),
+    )
+    return step
+
+
+def _q_top_central(spark, sf):
+    """O1 full sort by centrality (reference prints the ranked list,
+    harmonic.rs:186-192): distributed TakeOrdered top-k (orderBy+limit never
+    range-sorts more than k rows per partition), then a rank column over the
+    k surviving rows only — the row_number window touches 100 rows, not n."""
+    from avgdist_rs_spark.operators.centrality import closeness_centrality, top_central
+    from pyspark.sql import Window
+
+    g = _graph(spark, sf)
+    c = closeness_centrality(g, exact=True)
+    o = _orig(g, c, ["v"])
+    top = top_central(o, "closeness", k=100)
+    w = Window.orderBy(F.desc("closeness"), F.asc("v"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "v", F.round("closeness", 12).alias("closeness")
+    )
+
+
 def _q_bfs_from_seed(spark, sf):
     from avgdist_rs_spark.operators.bfs import bfs_csr
 
@@ -628,6 +688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_harmonic": _q_harmonic,
         "eg_closeness": _q_closeness,
         "eg_lin_closeness": _q_lin_closeness,
+        "eg_top_central": _q_top_central,
+        "eg_results_roundtrip": _q_results_roundtrip,
+        "eg_telemetry_bfs": _q_telemetry_bfs,
         "eg_bfs_from_seed": _q_bfs_from_seed,
         "eg_bfs_bucketed": _q_bfs_bucketed,
         "eg_reach_counts": _q_reach_counts,
@@ -1262,6 +1325,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w AS v, round((count(*) * count(*))::DOUBLE / "
             "(sum(d) * (SELECT n FROM nn)), 9) AS lin "
             "FROM mind GROUP BY w"
+        ),
+        "eg_top_central": (
+            # rank over the RAW closeness (bit-exact single division on both
+            # engines), rounded only for display — ties broken by vertex key
+            f"WITH RECURSIVE {_EG}, {_NN}, {_MIND}, "
+            "cl AS (SELECT w AS v, 1.0 / (sum(d) * (SELECT n FROM nn)) AS c "
+            "FROM mind GROUP BY w) "
+            "SELECT row_number() OVER (ORDER BY c DESC, v) AS rank, v, "
+            "round(c, 12) AS closeness FROM cl "
+            "QUALIFY rank <= 100"
+        ),
+        "eg_results_roundtrip": (
+            # identical semantics to eg_out_degrees — the engine side passes
+            # through the S6 write_results → read_table round trip
+            f"WITH {_EG}, {_OG} SELECT v, od::BIGINT AS out_degree FROM og"
+        ),
+        "eg_telemetry_bfs": (
+            # frontier size per BFS level from E:0, plus the terminating
+            # zero-frontier record the superstep loop logs before stopping
+            f"WITH RECURSIVE {_EG}, {_MIND}, "
+            "lv AS MATERIALIZED (SELECT d FROM mind WHERE v = 'E:0') "
+            "SELECT d::BIGINT AS superstep, count(*)::BIGINT AS frontier_size "
+            "FROM lv GROUP BY d "
+            "UNION ALL SELECT max(d)::BIGINT + 1, 0::BIGINT FROM lv"
         ),
         "eg_bfs_from_seed": (
             f"WITH RECURSIVE {_EG}, {_MIND} "
