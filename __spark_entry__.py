@@ -446,6 +446,16 @@ def _q_minhash_lsh(spark, sf):
     ).select(F.col("a").cast("long"), F.col("b").cast("long"), "jaccard")
 
 
+def _q_dedup_groups(spark, sf):
+    """Dedup collapse: LSH pairs → connected components → canonical keep id
+    per document (transitive near-dup semantics — what a pipeline acts on)."""
+    from avgdist_rs_spark.operators.dedup import dedup_groups
+
+    return dedup_groups(
+        _docs(spark, sf), num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.8
+    ).select(F.col("doc_id").cast("long"), F.col("keep_id").cast("long"))
+
+
 def _q_simhash(spark, sf):
     from avgdist_rs_spark.operators.dedup import simhash
 
@@ -552,6 +562,38 @@ def _q_emb_near_dup(spark, sf):
         _emb_checked(spark, sf), threshold=0.4, num_planes=8, seed=42
     ).select(
         F.col("a").cast("long"), F.col("b").cast("long"), "sim"
+    )
+
+
+def _q_stream_sessions(spark, sf):
+    """Structured Streaming end-to-end, value-verified: the stateful
+    applyInPandasWithState sessionizer drains the events table via an
+    availableNow trigger into a memory sink and the per-EVENT assignments
+    (session + turn indices) are compared against the batch gap-rule SQL.
+    One parquet file = one micro-batch, so the stream ≡ batch ordering
+    contract (streaming/events_stream.py) holds exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    from avgdist_rs_spark.streaming.events_stream import (
+        run_available_now,
+        sessionize_stream,
+        stream_events,
+    )
+
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    # the file stream source requires a DIRECTORY; stage the (read-only)
+    # events table into one via symlink — zero copy
+    d = tempfile.mkdtemp(prefix="eg_stream_")
+    os.symlink(f"{sf}/events.parquet", os.path.join(d, "events.parquet"))
+    s = stream_events(spark, d)
+    run_available_now(sessionize_stream(s), name, "append")
+    return spark.table(name).select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("session_idx").cast("long"),
+        F.col("turn_idx").cast("long"),
     )
 
 
@@ -706,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": _q_jaccard_pairs,
         "doc_minhash_signatures": _q_minhash_signatures,
         "doc_minhash_lsh": _q_minhash_lsh,
+        "doc_dedup_groups": _q_dedup_groups,
         "doc_simhash": _q_simhash,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_token_count": _q_token_count,
@@ -717,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_ann": _q_ivf_ann,
         "emb_near_dup_pairs": _q_emb_near_dup,
         "events_session_stats": _q_session_stats,
+        "events_stream_sessions": _q_stream_sessions,
         "media_metadata": _q_media_metadata,
         "media_features": _q_media_features,
     }
@@ -1098,6 +1142,59 @@ WHERE j.jaccard >= 0.8
 """
 
 
+def _dedup_groups_sql(rounds: int = 8) -> str:
+    """Min-label closure over the LSH pair graph, unrolled ``rounds`` deep
+    with the _cc_sql-style self-check guard (duplicate clusters are near-
+    cliques — transitive chains longer than 2^? hops would trip the guard,
+    never silently mismatch)."""
+    rws = _MH_HASHES // _MH_BANDS
+    band_joins = []
+    for bi in range(_MH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(x.h{bi * rws + r} AS VARCHAR)" for r in range(rws)
+        )
+        cols_y = " || ',' || ".join(
+            f"CAST(y.h{bi * rws + r} AS VARCHAR)" for r in range(rws)
+        )
+        band_joins.append(
+            f"SELECT x.id AS a, y.id AS b FROM sig x JOIN sig y "
+            f"ON md5({cols}) = md5({cols_y}) AND x.id < y.id"
+        )
+    cand = " UNION ".join(band_joins)
+    parts = [
+        _SHINGLES.strip().rstrip(","),
+        _minhash_sig_select(),
+        f"cand AS ({cand})",
+        _JACCARD.strip(),
+        "dpairs AS MATERIALIZED (SELECT c.a, c.b FROM cand c "
+        "JOIN jac j ON j.a = c.a AND j.b = c.b WHERE j.jaccard >= 0.8)",
+        "dsym AS MATERIALIZED (SELECT a AS src, b AS dst FROM dpairs "
+        "UNION ALL SELECT b, a FROM dpairs)",
+        "g0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS comp FROM documents)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"gm{i} AS MATERIALIZED (SELECT s.dst AS v, min(l.comp) AS cand "
+            f"FROM g{p} l JOIN dsym s ON s.src = l.v GROUP BY s.dst)"
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT l.v, least(l.comp, coalesce(m.cand, l.comp)) "
+            f"AS comp FROM g{p} l LEFT JOIN gm{i} m ON m.v = l.v)"
+        )
+    parts.append(
+        f"dgguard AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM g{rounds - 1} a "
+        f"JOIN g{rounds} b ON a.v = b.v AND a.comp <> b.comp) "
+        f"THEN error('oracle dedup-groups unroll not converged: raise rounds') "
+        f"ELSE 1 END AS ok)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT v::BIGINT AS doc_id, comp::BIGINT AS keep_id FROM g{rounds} "
+        "WHERE (SELECT ok FROM dgguard) = 1"
+    )
+
+
 _LANGS = {
     "de": ["der", "die", "und", "das", "in", "zu", "den", "mit", "von", "ist"],
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
@@ -1422,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id::BIGINT AS id, {', '.join(f'h{i}' for i in range(_MH_HASHES))} FROM sig"
         ),
         "doc_minhash_lsh": _minhash_lsh_sql(),
+        "doc_dedup_groups": _dedup_groups_sql(),
         "doc_simhash": _simhash_sql() + "SELECT id::BIGINT AS id, simhash FROM fp",
         "doc_simhash_pairs": (
             _simhash_sql()
@@ -1464,6 +1562,22 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_ann": _lsh_ann_sql(),
         "emb_ivf_ann": _ivf_ann_sql(),
         "emb_near_dup_pairs": _emb_near_dup_sql(),
+        "events_stream_sessions": (
+            # per-EVENT session/turn assignment by the batch gap rule — the
+            # engine side produces it through the STREAMING stateful operator
+            "WITH lagged AS (SELECT event_id, user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events), "
+            "sess AS (SELECT event_id, user_id, ts, "
+            f"sum(CASE WHEN prev_ts IS NULL OR floor(epoch(ts))::BIGINT - "
+            f"floor(epoch(prev_ts))::BIGINT > {_GAP_S} THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS session_idx FROM lagged) "
+            "SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id, "
+            "session_idx::BIGINT AS session_idx, "
+            "(row_number() OVER (PARTITION BY user_id, session_idx "
+            "ORDER BY ts, event_id) - 1)::BIGINT AS turn_idx FROM sess"
+        ),
         "events_session_stats": (
             "WITH lagged AS (SELECT event_id, user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "

@@ -279,3 +279,42 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------------------------------ collapse
+def dedup_groups(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The dedup DECISION stage: collapse near-duplicates into canonical groups.
+
+    Pair lists (``minhash_lsh_pairs``) are not what a pipeline acts on — near-
+    duplication is transitive in practice (A≈B, B≈C ⇒ drop two of {A,B,C}), so
+    the collapse is connected components over the pair graph with the minimum
+    doc id as each group's canonical survivor. Returns (doc_id, keep_id) for
+    EVERY document — singletons keep themselves; ``keep_id`` is the group key.
+
+    Scale shape: the pair graph is tiny relative to the corpus (only docs with
+    a band collision appear), and ``connected_components`` is the pointer-
+    jumping O(log diameter) operator — transitive near-dup chains (the reason
+    a per-pair greedy drop is wrong) cost log, not linear, supersteps.
+    """
+    from ..plans.graph import GraphFrame
+    from .components import connected_components
+
+    pairs = minhash_lsh_pairs(docs, num_hashes, bands, k, threshold, id_col, text_col)
+    n = docs.agg(F.max(F.col(id_col)).cast("long")).collect()[0][0] + 1
+    g = GraphFrame.from_edges(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        num_nodes=int(n),
+        dedup=False,
+    )
+    cc = connected_components(g)
+    out = cc.select(F.col("v").alias(id_col), F.col("component").alias("keep_id"))
+    g.unpersist()
+    return out

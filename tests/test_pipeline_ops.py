@@ -327,3 +327,40 @@ def test_simhash_pairs_bucketed_full_width_chunk(spark):
         for r in simhash_pairs(docs, bits=64, max_hamming=0, bucketed=False).collect()
     }
     assert fast == slow
+
+
+def test_dedup_groups_transitive_collapse(spark):
+    """A≈B and B≈C must collapse {A,B,C} to one group even when A and C never
+    pair directly — the reason the collapse is CC, not per-pair greedy drop."""
+    from avgdist_rs_spark.operators.dedup import dedup_groups, minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    chain = spark.createDataFrame(
+        [
+            (0, base + "alpha beta gamma delta"),
+            (1, base + "alpha beta gamma epsilon"),   # near 0
+            (2, base + "alpha beta zeta epsilon"),    # near 1, further from 0
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(chain, threshold=0.7).collect()
+    }
+    got = {r["doc_id"]: r["keep_id"] for r in dedup_groups(chain, threshold=0.7).collect()}
+    # every doc present; singletons keep themselves
+    assert set(got) == {0, 1, 2, 3}
+    assert got[3] == 3
+    # group assignment IS the transitive closure of the pair graph
+    import networkx as nx
+
+    gg = nx.Graph()
+    gg.add_nodes_from(range(4))
+    gg.add_edges_from(pairs)
+    for comp in nx.connected_components(gg):
+        keep = min(comp)
+        for v in comp:
+            assert got[v] == keep
+    # the fixture is only meaningful if a chain actually formed
+    assert (0, 1) in pairs and (1, 2) in pairs
