@@ -171,7 +171,7 @@ def hyperball(
     checkpointer: Checkpointer | None = None,
     metrics: SuperstepMetrics | None = None,
     resume: bool = False,
-    combine: bool = True,
+    combine: bool | str = "auto",
     measure_volume: bool = False,
 ) -> DataFrame:
     """(v, reach_est, harmonic_est, dist_sum_est) for EVERY vertex at once.
@@ -186,16 +186,23 @@ def hyperball(
     - the contribution join keys on the edge table whose stable hash
       partitioning matches the join key (``edges_t`` for forward balls), so
       the edge side never exchanges — only the n-row state does;
-    - ``combine=True`` (default) pre-merges contributions per (partition, v)
-      with the same reduceat kernel BEFORE the exchange — register max is
-      associative (HyperBall's whole trick), so per-superstep shuffle drops
-      from m+n blob rows to ≈ touched-vertices-per-partition + n, with
-      bit-identical results. ``measure_volume=True`` records raw vs pre-merged
-      contribution rows per superstep in the metrics (two extra count jobs —
-      diagnostics only).
+    - ``combine=True`` pre-merges contributions per (partition, v) with the
+      same reduceat kernel BEFORE the exchange — register max is associative
+      (HyperBall's whole trick), so per-superstep shuffle drops from m+n blob
+      rows to ≈ touched-vertices-per-partition + n, with bit-identical
+      results. The pre-merge only PAYS when several contributions per vertex
+      land in the same map partition, i.e. on fan-out graphs; on avg-degree≈1
+      graphs it is a full extra Arrow pass that merges nothing. The default
+      ``combine="auto"`` decides from stats already in hand — pre-merge iff
+      ``num_edges/num_nodes ≥ 4`` — with no extra job and (since the merge is
+      bit-identical) no effect on results. ``measure_volume=True`` records raw
+      vs pre-merged contribution rows per superstep in the metrics (two extra
+      count jobs — diagnostics only).
     """
     spark = graph.spark
     m = 1 << p
+    if combine == "auto":
+        combine = graph.num_edges >= 4 * max(graph.num_nodes, 1)
     nparts = _num_partitions_for(spark)
     met = metrics if metrics is not None else SuperstepMetrics(name="hyperball")
     ckpt = checkpointer or Checkpointer(spark, name="hyperball", every=4)
