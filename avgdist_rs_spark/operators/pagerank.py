@@ -72,22 +72,31 @@ def pagerank(
             "v", (F.lit(1.0) / F.lit(float(n))).alias("rank")
         ).localCheckpoint(eager=True)
 
+    base_rows = (
+        graph.vertices().select("v", F.lit(0.0).alias("c")).persist()
+    )
     for it in range(start_iter + 1, iterations + 1):
         t0 = time.monotonic()
+        # every-vertex presence WITHOUT a second join: zero-contribution base
+        # rows ride the SAME union into the single groupBy exchange, so each
+        # superstep is exactly one shuffle of the n-row rank vector (by src)
+        # plus one aggregation shuffle (by dst) — no vertices ⋈ contrib stage
         contrib = (
             ranks.join(norm_edges, ranks.v == F.col("_esrc"))
             .select(F.col("_edst").alias("v"), (F.col("rank") * F.col("_w")).alias("c"))
+            .unionAll(base_rows)
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
             .persist()
         )
         # dangling mass = 1 − Σ contrib: every non-dangling vertex distributes
         # its rank fully (Σ_v contrib(v) = Σ_{u: outdeg>0} rank(u)) and Σ rank
-        # is 1 by construction — saves the anti-join + extra ranks scan per
-        # superstep; the SQL oracle mirrors this expression exactly.
-        # dangling mass stays IN the plan as a broadcast 1-row aggregate — no
-        # driver collect per superstep: the checkpoint materialization is the
-        # only job each iteration (the persisted contrib feeds both branches)
+        # is 1 by construction (the base rows add exactly 0) — saves the
+        # anti-join + extra ranks scan per superstep; the SQL oracle mirrors
+        # this expression exactly. The mass stays IN the plan as a broadcast
+        # 1-row aggregate — no driver collect per superstep: the checkpoint
+        # materialization is the only job each iteration (the persisted
+        # contrib feeds both branches)
         if has_dangling:
             dmass = contrib.agg(
                 (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("_dm")
@@ -96,20 +105,13 @@ def pagerank(
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping) * F.col("_dm") / F.lit(float(n))
             )
-            new_ranks = (
-                graph.vertices()
-                .join(contrib, "v", "left")
-                .fillna(0.0, subset=["c"])
-                .crossJoin(F.broadcast(dmass))
-                .select("v", (base + F.lit(damping) * F.col("c")).alias("rank"))
+            new_ranks = contrib.crossJoin(F.broadcast(dmass)).select(
+                "v", (base + F.lit(damping) * F.col("c")).alias("rank")
             )
         else:
             base = F.lit((1.0 - damping) / n)
-            new_ranks = (
-                graph.vertices()
-                .join(contrib, "v", "left")
-                .fillna(0.0, subset=["c"])
-                .select("v", (base + F.lit(damping) * F.col("c")).alias("rank"))
+            new_ranks = contrib.select(
+                "v", (base + F.lit(damping) * F.col("c")).alias("rank")
             )
         if tol is not None:
             delta = (
@@ -127,4 +129,5 @@ def pagerank(
         if tol is not None and delta is not None and delta < tol:
             break
     norm_edges.unpersist()
+    base_rows.unpersist()
     return ranks
