@@ -79,23 +79,25 @@ def connected_components(
 
     for it in range(1, max_supersteps + 1):
         t0 = time.monotonic()
-        nbr_min = (
-            labels.join(sym, labels.v == F.col("_esrc"))
-            .select(F.col("_edst").alias("v"), F.col("component").alias("cand"))
-            .groupBy("v")
-            .agg(F.min("cand").alias("cand"))
+        # one fused exchange per superstep: the state row (carrying the old
+        # label for change detection) rides the SAME union as the neighbor
+        # contributions into a single groupBy — min(cand) over {own label} ∪
+        # {neighbor labels} IS least(own, neighbor-min), and max(_old) picks
+        # the state row's old label (contributions carry NULL). Replaces the
+        # former nbr_min groupBy + labels left-join (two stages) with one.
+        contrib = labels.join(sym, labels.v == F.col("_esrc")).select(
+            F.col("_edst").alias("v"),
+            F.col("component").alias("cand"),
+            F.lit(None).cast("long").alias("_prev"),
         )
-        # carry the pre-update label as _old so convergence detection is a
-        # plain aggregate over the superstep output, not a second full join
+        state = labels.select(
+            "v", F.col("component").alias("cand"), F.col("component").alias("_prev")
+        )
         stepped = (
-            labels.join(nbr_min, "v", "left")
-            .select(
-                "v",
-                F.col("component").alias("_old"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("cand"), F.col("component"))
-                ).alias("component"),
-            )
+            contrib.unionAll(state)
+            .groupBy("v")
+            .agg(F.min("cand").alias("component"), F.max("_prev").alias("_old"))
+            .select("v", "_old", "component")
         )
         jump = shortcut is True or (shortcut == "auto" and it > AUTO_SHORTCUT_AFTER)
         if jump:
