@@ -56,15 +56,18 @@ def label_propagation(
             .agg(F.count("*").alias("cnt"))
         )
         # argmax by (cnt desc, label asc): max_by with a sortable struct —
-        # deterministic, single aggregate, no window
-        winner = votes.groupBy("v").agg(
-            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias(
-                "new_label"
-            )
-        )
+        # deterministic, single aggregate, no window. The keep-own-label
+        # fallback is fused in as a cnt=0 state row per vertex riding the
+        # same union: it loses to every real vote (cnt ≥ 1) and wins exactly
+        # when the vertex has no neighbors — no labels ⋈ winner join stage.
         new_labels = (
-            labels.join(winner, "v", "left")
-            .select("v", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
+            votes.unionAll(labels.select("v", "label", F.lit(0).cast("long").alias("cnt")))
+            .groupBy("v")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("label")
+            )
         )
         new_labels = ckpt.step(new_labels, it, wall_s=time.monotonic() - t0)
         met.record(it, graph.num_nodes, time.monotonic() - t0)
