@@ -54,6 +54,8 @@ def word_shingles(
     Shingle text = k consecutive words joined by one space — the oracle builds
     the identical string with ``ws[i] || ' ' || ws[i+1] ...``.
     """
+    from ..plans.graph import _num_partitions_for
+
     words = F.split(F.col(text_col), " ")
     # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs shorter
     # than k words must be gated explicitly or slice(start=0) throws at runtime.
@@ -64,8 +66,16 @@ def word_shingles(
             lambda i: F.concat_ws(" ", F.slice(words, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # spread the (cheap, pre-explode) doc rows across the session parallelism
+    # FIRST: a small-file parquet scan arrives as one partition, and the
+    # explode × num_hashes hashing downstream — the actual cost — inherits the
+    # scan's parallelism, not the shuffle default. The exchange moves only the
+    # raw docs (tiny vs the shingle table it fans out into).
+    spread = docs.repartition(
+        _num_partitions_for(docs.sparkSession), F.col(id_col)
+    )
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(gram).alias("shingle"))
+        spread.select(F.col(id_col).alias("id"), F.explode(gram).alias("shingle"))
         .distinct()
     )
 
@@ -206,10 +216,18 @@ def simhash(
     −1; fingerprint bit b is set iff the column sum > 0. Implemented as
     ``bits`` sum-aggregates in a single groupBy (no per-bit row explosion).
     """
-    wd = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    ).withColumn("h", portable_hash64(F.col("w"), salt="sh:"))
+    from ..plans.graph import _num_partitions_for
+
+    # same spread-before-explode rationale as word_shingles: the word explode
+    # and 64-bit hashing must not inherit a single-file scan's one partition
+    wd = (
+        docs.repartition(_num_partitions_for(docs.sparkSession), F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .withColumn("h", portable_hash64(F.col("w"), salt="sh:"))
+    )
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
