@@ -47,12 +47,19 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 # ------------------------------------------------------------------ shingles
 def word_shingles(
-    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word k-gram shingles per doc: (id, shingle).
+    """Word k-gram shingles per doc: (id, shingle), distinct by default.
 
     Shingle text = k consecutive words joined by one space — the oracle builds
     the identical string with ``ws[i] || ' ' || ws[i+1] ...``.
+    ``distinct=False`` skips the dedup exchange entirely — correct for any
+    duplicate-insensitive consumer (MinHash mins), where it also moves the
+    per-shingle hashing to the map side of the ONLY remaining exchange.
     """
     from ..plans.graph import _num_partitions_for
 
@@ -74,10 +81,8 @@ def word_shingles(
     spread = docs.repartition(
         _num_partitions_for(docs.sparkSession), F.col(id_col)
     )
-    return (
-        spread.select(F.col(id_col).alias("id"), F.explode(gram).alias("shingle"))
-        .distinct()
-    )
+    out = spread.select(F.col(id_col).alias("id"), F.explode(gram).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 
@@ -151,8 +156,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{num_hashes-1}) MinHash signature — min of salted portable
     hashes over the doc's shingle set. One groupBy, map-side partial mins.
-    ``shingles`` lets callers reuse an already-derived (id, shingle) set."""
-    sh = shingles if shingles is not None else word_shingles(docs, k, id_col, text_col)
+    ``shingles`` lets callers reuse an already-derived (id, shingle) set.
+
+    min() is duplicate-insensitive, so the default path derives NON-distinct
+    shingles: the per-shingle hashing runs map-side of the one groupBy
+    exchange at full scan parallelism, instead of downstream of a dedup
+    exchange (which AQE legitimately coalesces to few partitions — the bytes
+    are small; the per-row hash CPU is not)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(docs, k, id_col, text_col, distinct=False)
+    )
     aggs = [
         F.min(portable_hash64(F.col("shingle"), salt=f"mh{i}:")).alias(f"h{i}")
         for i in range(num_hashes)
@@ -177,10 +192,12 @@ def minhash_lsh_pairs(
     Returns (a, b, jaccard) with a < b, jaccard ≥ threshold.
     """
     rows = num_hashes // bands
-    # one shingle derivation feeds both the signatures and the exact verify —
-    # two text scans otherwise
+    # the signatures hash the NON-distinct shingle stream (min is
+    # duplicate-insensitive — keeps the hash CPU map-side at scan
+    # parallelism); the exact verify below needs the distinct set. Two cheap
+    # explodes beat funneling the hash work through the dedup exchange.
     sh = word_shingles(docs, k, id_col, text_col)
-    sig = minhash_signatures(docs, num_hashes, k, id_col, text_col, shingles=sh)
+    sig = minhash_signatures(docs, num_hashes, k, id_col, text_col)
     band_cols = []
     for bi in range(bands):
         parts = [F.col(f"h{bi * rows + r}").cast("string") for r in range(rows)]
