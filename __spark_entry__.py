@@ -456,6 +456,26 @@ def _q_dedup_groups(spark, sf):
     ).select(F.col("doc_id").cast("long"), F.col("keep_id").cast("long"))
 
 
+def _q_training_set(spark, sf):
+    """Flagship pipeline: exact dedup → near-dup collapse → language/quality
+    gates, composed as one plan — the training-set manifest query."""
+    from avgdist_rs_spark.operators.pipeline import training_set_select
+
+    return training_set_select(
+        _docs(spark, sf),
+        lang="en",
+        min_quality=0.6,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        threshold=0.8,
+    ).select(
+        F.col("doc_id").cast("long"),
+        "lang_pred",
+        "quality",
+        F.col("n_tokens").cast("long"),
+    )
+
+
 def _q_simhash(spark, sf):
     from avgdist_rs_spark.operators.dedup import simhash
 
@@ -749,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_signatures": _q_minhash_signatures,
         "doc_minhash_lsh": _q_minhash_lsh,
         "doc_dedup_groups": _q_dedup_groups,
+        "doc_training_set": _q_training_set,
         "doc_simhash": _q_simhash,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_token_count": _q_token_count,
@@ -1090,12 +1111,18 @@ fp AS MATERIALIZED (SELECT id, ({fp})::BIGINT AS simhash FROM sums)
 """
 
 
-_SHINGLES = """
+def _shingles_sql(src: str = "documents") -> str:
+    """The distinct word-3-gram CTE, parameterized by the doc source CTE so
+    pipeline oracles can run the same chain over a filtered subset."""
+    return f"""
 sh AS MATERIALIZED (
   SELECT DISTINCT id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
   FROM (SELECT doc_id AS id, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src})))
 """
+
+
+_SHINGLES = _shingles_sql()
 
 _JACCARD = """
 sz AS MATERIALIZED (SELECT id, count(*) AS sz FROM sh GROUP BY id),
@@ -1142,11 +1169,10 @@ WHERE j.jaccard >= 0.8
 """
 
 
-def _dedup_groups_sql(rounds: int = 8) -> str:
-    """Min-label closure over the LSH pair graph, unrolled ``rounds`` deep
-    with the _cc_sql-style self-check guard (duplicate clusters are near-
-    cliques — transitive chains longer than 2^? hops would trip the guard,
-    never silently mismatch)."""
+def _dup_closure_parts(rounds: int, src: str = "documents") -> list[str]:
+    """Shared CTE-part list: shingles → signatures → band candidates → exact
+    Jaccard verify → symmetric duplicate-pair graph → min-label closure
+    ``rounds`` deep over ``src``. Callers append their own guard + select."""
     rws = _MH_HASHES // _MH_BANDS
     band_joins = []
     for bi in range(_MH_BANDS):
@@ -1162,7 +1188,7 @@ def _dedup_groups_sql(rounds: int = 8) -> str:
         )
     cand = " UNION ".join(band_joins)
     parts = [
-        _SHINGLES.strip().rstrip(","),
+        _shingles_sql(src).strip().rstrip(","),
         _minhash_sig_select(),
         f"cand AS ({cand})",
         _JACCARD.strip(),
@@ -1170,7 +1196,7 @@ def _dedup_groups_sql(rounds: int = 8) -> str:
         "JOIN jac j ON j.a = c.a AND j.b = c.b WHERE j.jaccard >= 0.8)",
         "dsym AS MATERIALIZED (SELECT a AS src, b AS dst FROM dpairs "
         "UNION ALL SELECT b, a FROM dpairs)",
-        "g0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS comp FROM documents)",
+        f"g0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS comp FROM {src})",
     ]
     for i in range(1, rounds + 1):
         p = i - 1
@@ -1188,10 +1214,67 @@ def _dedup_groups_sql(rounds: int = 8) -> str:
         f"THEN error('oracle dedup-groups unroll not converged: raise rounds') "
         f"ELSE 1 END AS ok)"
     )
+    return parts
+
+
+def _dedup_groups_sql(rounds: int = 8) -> str:
+    """Min-label closure over the LSH pair graph, unrolled ``rounds`` deep
+    with the _cc_sql-style self-check guard (duplicate clusters are near-
+    cliques — transitive chains longer than 2^? hops would trip the guard,
+    never silently mismatch)."""
+    parts = _dup_closure_parts(rounds)
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT v::BIGINT AS doc_id, comp::BIGINT AS keep_id FROM g{rounds} "
         "WHERE (SELECT ok FROM dgguard) = 1"
+    )
+
+
+def _training_set_sql(rounds: int = 8) -> str:
+    """Full pipeline oracle: exact dedup → LSH/CC near-dup collapse over the
+    survivors → language + quality gates — the same stage expressions as the
+    per-operator oracles, chained over progressively filtered doc subsets."""
+    parts = [
+        "ex AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM documents "
+        "GROUP BY md5(text))",
+        "sdocs AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d "
+        "JOIN ex USING (doc_id))",
+    ]
+    parts += _dup_closure_parts(rounds, src="sdocs")
+    langs = sorted(_LANGS)
+    score_cols = []
+    for L in langs:
+        lst = ", ".join(f"'{w}'" for w in _LANGS[L])
+        score_cols.append(
+            f"len(list_filter(ws, w -> list_contains([{lst}], w))) / len(ws) AS sc_{L}"
+        )
+    best = "greatest(" + ", ".join(f"sc_{L}" for L in langs) + ")"
+    cases = " ".join(f"WHEN sc_{L} = best AND best > 0 THEN '{L}'" for L in langs)
+    parts += [
+        # canonical survivors of the near-dup collapse (guard-gated)
+        f"canon AS MATERIALIZED (SELECT v AS doc_id FROM g{rounds} "
+        f"WHERE v = comp AND (SELECT ok FROM dgguard) = 1)",
+        "ct AS (SELECT s.doc_id, s.text, string_split(s.text, ' ') AS ws "
+        "FROM sdocs s JOIN canon USING (doc_id))",
+        f"lsc AS (SELECT doc_id, {', '.join(score_cols)} FROM ct)",
+        f"lb AS (SELECT doc_id, {best} AS best, "
+        + ", ".join(f"sc_{L}" for L in langs)
+        + " FROM lsc)",
+        f"lng AS (SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred FROM lb)",
+        "qm AS (SELECT doc_id, len(ws) AS n, "
+        "(length(text) - (len(ws) - 1)) / len(ws) AS mean_len, "
+        "len(list_distinct(ws)) / len(ws) AS dr FROM ct)",
+        "qs AS (SELECT doc_id, n, "
+        "round(((CASE WHEN n >= 5 AND n <= 1000 THEN 1.0 ELSE 0.0 END) + "
+        "(CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.0 END) + "
+        "(CASE WHEN dr >= 0.3 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality FROM qm)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT l.doc_id::BIGINT AS doc_id, l.lang_pred, q.quality, "
+        "q.n::BIGINT AS n_tokens "
+        "FROM lng l JOIN qs q USING (doc_id) "
+        "WHERE l.lang_pred = 'en' AND q.quality >= 0.6"
     )
 
 
@@ -1520,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_minhash_lsh": _minhash_lsh_sql(),
         "doc_dedup_groups": _dedup_groups_sql(),
+        "doc_training_set": _training_set_sql(),
         "doc_simhash": _simhash_sql() + "SELECT id::BIGINT AS id, simhash FROM fp",
         "doc_simhash_pairs": (
             _simhash_sql()

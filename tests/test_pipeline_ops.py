@@ -364,3 +364,25 @@ def test_dedup_groups_transitive_collapse(spark):
             assert got[v] == keep
     # the fixture is only meaningful if a chain actually formed
     assert (0, 1) in pairs and (1, 2) in pairs
+
+
+def test_training_set_select_semantics(spark):
+    """Each gate drops exactly what it should: exact dup, near-dup non-
+    canonical, low quality, non-English — and the survivor keeps its stats."""
+    from avgdist_rs_spark.operators.pipeline import training_set_select
+
+    base = "the quick brown fox jumps over the lazy dog and it is for on " * 3
+    docs = spark.createDataFrame(
+        [
+            (0, base + "alpha beta gamma delta"),      # canonical survivor
+            (1, base + "alpha beta gamma delta"),      # exact dup of 0
+            (2, base + "alpha beta gamma epsilon"),    # near-dup of 0
+            (3, "x y " * 4),                           # low quality (diversity)
+            (4, "der die und das in zu den mit von ist " * 5),  # German
+        ],
+        "doc_id long, text string",
+    )
+    got = training_set_select(docs, lang="en", min_quality=0.6, threshold=0.7).collect()
+    assert {r["doc_id"] for r in got} == {0}
+    r = got[0]
+    assert r["lang_pred"] == "en" and r["quality"] >= 0.6 and r["n_tokens"] > 0
