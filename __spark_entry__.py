@@ -205,6 +205,16 @@ def _q_pagerank(spark, sf):
     return _orig(g, pr, ["v"]).select("v", F.round("rank", 6).alias("rank"))
 
 
+def _q_pagerank_personalized(spark, sf):
+    """Personalized PageRank (random walk with restart) from a fixed dense-id
+    seed set — proximity-to-seeds relevance on the event graph."""
+    from avgdist_rs_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, sf)
+    pr = pagerank(g, iterations=_PR_ITERS, damping=0.85, seeds=list(_PPR_SEEDS))
+    return _orig(g, pr, ["v"]).select("v", F.round("rank", 6).alias("rank"))
+
+
 def _q_label_propagation(spark, sf):
     from avgdist_rs_spark.operators.labelprop import label_propagation
 
@@ -745,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_triangle_count": _q_triangle_count,
         "eg_connected_components": _q_connected_components,
         "eg_pagerank": _q_pagerank,
+        "eg_pagerank_personalized": _q_pagerank_personalized,
         "eg_label_propagation": _q_label_propagation,
         "eg_avgdist_exact": _q_avgdist_exact,
         "eg_harmonic": _q_harmonic,
@@ -1045,6 +1056,47 @@ def _pagerank_sql() -> str:
         parts.append(
             f"r{i} AS MATERIALIZED (SELECT t.v, (1.0 - 0.85) / (SELECT n FROM nn) "
             f"+ 0.85 * (SELECT m FROM d{i}) / (SELECT n FROM nn) "
+            f"+ 0.85 * coalesce(c.c, 0.0) AS rank "
+            f"FROM eg_verts t LEFT JOIN c{i} c ON c.v = t.v)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT v, round(rank, 6) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+_PPR_SEEDS = (0, 5, 10, 15)
+
+
+def _ppr_sql() -> str:
+    """Personalized PageRank oracle: same unroll as ``_pagerank_sql`` with the
+    teleport vector concentrated on the seed set. Seeds are DENSE engine ids;
+    ``rv`` (rank-of-sorted-orig) maps them to the oracle's string keys — the
+    same portable id contract the samplers use."""
+    k = float(len(_PPR_SEEDS))
+    ids = ", ".join(str(s) for s in _PPR_SEEDS)
+    parts = [
+        _EG,
+        _OG,
+        _NN,
+        _RV,
+        f"sv AS MATERIALIZED (SELECT v FROM rv WHERE id IN ({ids}))",
+        f"r0 AS MATERIALIZED (SELECT v, CASE WHEN v IN (SELECT v FROM sv) "
+        f"THEN 1.0 / {k} ELSE 0.0 END AS rank FROM eg_verts)",
+    ]
+    tele = f"(CASE WHEN t.v IN (SELECT v FROM sv) THEN 1.0 / {k} ELSE 0.0 END)"
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS v, sum(r.rank * (1.0 / o.od)) AS c "
+            f"FROM r{p} r JOIN eg_edges e ON e.src = r.v JOIN og o ON o.v = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT 1.0 - coalesce(sum(c), 0.0) AS m FROM c{i})"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT t.v, (1.0 - 0.85) * {tele} "
+            f"+ 0.85 * (SELECT m FROM d{i}) * {tele} "
             f"+ 0.85 * coalesce(c.c, 0.0) AS rank "
             f"FROM eg_verts t LEFT JOIN c{i} c ON c.v = t.v)"
         )
@@ -1484,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "eg_connected_components": _cc_sql(),
         "eg_pagerank": _pagerank_sql(),
+        "eg_pagerank_personalized": _ppr_sql(),
         "eg_label_propagation": _lp_sql(),
         "eg_avgdist_exact": (
             f"WITH RECURSIVE {_EG}, {_MIND} "

@@ -35,8 +35,21 @@ def pagerank(
     checkpointer: Checkpointer | None = None,
     metrics: SuperstepMetrics | None = None,
     resume: bool = False,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
-    """(v, rank) after ``iterations`` supersteps (or earlier if L1 delta < tol)."""
+    """(v, rank) after ``iterations`` supersteps (or earlier if L1 delta < tol).
+
+    ``seeds`` switches to PERSONALIZED PageRank (random walk with restart):
+    the teleport vector concentrates on the seed set — tele(v) = 1/|S| for
+    v ∈ S, else 0 — so rank measures proximity to the seeds (the standard
+    relevance/recommendation primitive on link graphs). Standard PageRank is
+    the special case tele ≡ 1/n; dangling mass redistributes through the same
+    teleport vector, preserving Σrank = 1 in both modes. Physical plan is
+    unchanged: the teleport weight rides the per-vertex base rows through the
+    fused union-aggregate (contributions carry 0; max() recovers it), no
+    extra join or shuffle. Seed sets are assumed driver-small (they are query
+    parameters); pass ids, not a DataFrame.
+    """
     spark = graph.spark
     n = graph.num_nodes
     met = metrics if metrics is not None else SuperstepMetrics(name="pagerank")
@@ -67,13 +80,26 @@ def pagerank(
         latest = ckpt.latest()
         if latest is not None:
             ranks, start_iter = latest
+    if seeds is None:
+        tele = F.lit(1.0) / F.lit(float(n))
+    else:
+        sset = sorted({int(s) for s in seeds})
+        if not sset:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        tele = F.when(
+            F.col("v").isin(sset), F.lit(1.0) / F.lit(float(len(sset)))
+        ).otherwise(F.lit(0.0))
     if ranks is None:
-        ranks = graph.vertices().select(
-            "v", (F.lit(1.0) / F.lit(float(n))).alias("rank")
-        ).localCheckpoint(eager=True)
+        ranks = (
+            graph.vertices()
+            .select("v", tele.alias("rank"))
+            .localCheckpoint(eager=True)
+        )
 
     base_rows = (
-        graph.vertices().select("v", F.lit(0.0).alias("c")).persist()
+        graph.vertices()
+        .select("v", F.lit(0.0).alias("c"), tele.alias("_tele"))
+        .persist()
     )
     for it in range(start_iter + 1, iterations + 1):
         t0 = time.monotonic()
@@ -83,10 +109,14 @@ def pagerank(
         # plus one aggregation shuffle (by dst) — no vertices ⋈ contrib stage
         contrib = (
             ranks.join(norm_edges, ranks.v == F.col("_esrc"))
-            .select(F.col("_edst").alias("v"), (F.col("rank") * F.col("_w")).alias("c"))
+            .select(
+                F.col("_edst").alias("v"),
+                (F.col("rank") * F.col("_w")).alias("c"),
+                F.lit(0.0).alias("_tele"),
+            )
             .unionAll(base_rows)
             .groupBy("v")
-            .agg(F.sum("c").alias("c"))
+            .agg(F.sum("c").alias("c"), F.max("_tele").alias("_t"))
             .persist()
         )
         # dangling mass = 1 − Σ contrib: every non-dangling vertex distributes
@@ -101,15 +131,24 @@ def pagerank(
             dmass = contrib.agg(
                 (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("_dm")
             )
-            base = (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.col("_dm") / F.lit(float(n))
-            )
+            if seeds is None:
+                base = (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+                )
+            else:
+                base = (
+                    F.lit(1.0 - damping) * F.col("_t")
+                    + F.lit(damping) * F.col("_dm") * F.col("_t")
+                )
             new_ranks = contrib.crossJoin(F.broadcast(dmass)).select(
                 "v", (base + F.lit(damping) * F.col("c")).alias("rank")
             )
         else:
-            base = F.lit((1.0 - damping) / n)
+            if seeds is None:
+                base = F.lit((1.0 - damping) / n)
+            else:
+                base = F.lit(1.0 - damping) * F.col("_t")
             new_ranks = contrib.select(
                 "v", (base + F.lit(damping) * F.col("c")).alias("rank")
             )

@@ -53,13 +53,21 @@ def seed_stats(pairs, n, seeds):
     return [bfs(adj, n, int(v))[:3] for v in seeds]
 
 
-def pagerank(pairs, n, iterations=40, damping=0.85):
-    """Pure-python PageRank with uniform dangling redistribution — the engine's
-    exact formulation (networkx.pagerank needs scipy, absent here)."""
+def pagerank(pairs, n, iterations=40, damping=0.85, seeds=None):
+    """Pure-python PageRank with teleport-vector dangling redistribution — the
+    engine's exact formulation (networkx.pagerank needs scipy, absent here).
+    ``seeds`` -> personalized: teleport mass concentrated uniformly on them."""
     out = defaultdict(list)
     for s, d in pairs:
         out[int(s)].append(int(d))
-    rank = [1.0 / n] * n
+    if seeds is None:
+        tele = [1.0 / n] * n
+    else:
+        ss = sorted(set(int(x) for x in seeds))
+        tele = [0.0] * n
+        for v in ss:
+            tele[v] = 1.0 / len(ss)
+    rank = list(tele)
     for _ in range(iterations):
         dangling = sum(rank[v] for v in range(n) if not out.get(v))
         contrib = [0.0] * n
@@ -67,8 +75,11 @@ def pagerank(pairs, n, iterations=40, damping=0.85):
             share = rank[u] / len(succs)
             for v in succs:
                 contrib[v] += share
-        base = (1.0 - damping) / n + damping * dangling / n
-        rank = [base + damping * c for c in contrib]
+        rank = [
+            (1.0 - damping) * tele[v] + damping * dangling * tele[v]
+            + damping * contrib[v]
+            for v in range(n)
+        ]
     return rank
 
 

@@ -109,6 +109,26 @@ def test_pagerank_vs_oracle(spark):
     g.unpersist()
 
 
+def test_pagerank_personalized_vs_oracle(spark):
+    """PPR: teleport mass on the seed set; Σrank = 1; matches the pure-python
+    oracle at equal iterations; seed-distant mass decays."""
+    g = FX.barabasi_graph(spark, n=120, m=3)
+    pairs = FX.barabasi_pairs(120, 3)
+    iters = 40
+    seeds = [3, 7]
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank(g, iterations=iters, seeds=seeds).collect()
+    }
+    want = oracle.pagerank(pairs, 120, iterations=iters, damping=0.85, seeds=seeds)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in range(120):
+        assert got[v] == pytest.approx(want[v], abs=1e-6), f"v={v}"
+    # restart mass makes seeds rank above the uniform-teleport level
+    assert got[3] > 1.0 / 120 and got[7] > 1.0 / 120
+    g.unpersist()
+
+
 def test_connected_components_exact(spark):
     nx = pytest.importorskip("networkx")
     # two separate structures: a path 0..4 and a 3-cycle 10,11,12 + isolated 20
