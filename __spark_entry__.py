@@ -35,6 +35,8 @@ _GAP_S = 1800
 _PR_ITERS = 10
 _LP_ITERS = 4
 _CC_ROUNDS = 16  # oracle unroll; self-checked (errors if not converged by then)
+_KCORE_K = 2
+_KCORE_ROUNDS = 12  # peeling unroll; self-checked like _CC_ROUNDS
 _DIST_MAX = 12  # oracle BFS closure depth bound; self-checked (errors if hit)
 _NQ, _TOPK = 8, 5  # similarity-query defaults
 _MH_HASHES, _MH_BANDS = 8, 4
@@ -213,6 +215,15 @@ def _q_pagerank_personalized(spark, sf):
     g = _graph(spark, sf)
     pr = pagerank(g, iterations=_PR_ITERS, damping=0.85, seeds=list(_PPR_SEEDS))
     return _orig(g, pr, ["v"]).select("v", F.round("rank", 6).alias("rank"))
+
+
+def _q_kcore(spark, sf):
+    """2-core of the event graph: iterative peeling (leaves/tendrils off)."""
+    from avgdist_rs_spark.operators.kcore import k_core
+
+    g = _graph(spark, sf)
+    kc = k_core(g, k=_KCORE_K)
+    return _orig(g, kc, ["v"]).select("v", F.col("deg").cast("long").alias("deg"))
 
 
 def _q_label_propagation(spark, sf):
@@ -757,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_pagerank": _q_pagerank,
         "eg_pagerank_personalized": _q_pagerank_personalized,
         "eg_label_propagation": _q_label_propagation,
+        "eg_kcore": _q_kcore,
         "eg_avgdist_exact": _q_avgdist_exact,
         "eg_harmonic": _q_harmonic,
         "eg_closeness": _q_closeness,
@@ -1102,6 +1114,36 @@ def _ppr_sql() -> str:
         )
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT v, round(rank, 6) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+def _kcore_sql() -> str:
+    """Unrolled iterative peeling with the usual convergence error() guard:
+    aᵢ = vertices whose degree among aᵢ₋₁ is ≥ k; fixpoint = the k-core."""
+    k = _KCORE_K
+    parts = [
+        _EG,
+        _SYM,
+        f"a0 AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM sym "
+        f"GROUP BY src HAVING count(*) >= {k})",
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT s.src AS v, count(*) AS deg FROM sym s "
+            f"JOIN a{p} x ON x.v = s.src JOIN a{p} y ON y.v = s.dst "
+            f"GROUP BY s.src HAVING count(*) >= {k})"
+        )
+    parts.append(
+        f"kcguard AS (SELECT CASE WHEN (SELECT count(*) FROM a{_KCORE_ROUNDS - 1}) <> "
+        f"(SELECT count(*) FROM a{_KCORE_ROUNDS}) "
+        f"THEN error('oracle k-core unroll not converged: raise _KCORE_ROUNDS') "
+        f"ELSE 1 END AS ok)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT v, deg::BIGINT AS deg FROM a{_KCORE_ROUNDS} "
+        "WHERE (SELECT ok FROM kcguard) = 1"
     )
 
 
@@ -1537,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "eg_connected_components": _cc_sql(),
         "eg_pagerank": _pagerank_sql(),
         "eg_pagerank_personalized": _ppr_sql(),
+        "eg_kcore": _kcore_sql(),
         "eg_label_propagation": _lp_sql(),
         "eg_avgdist_exact": (
             f"WITH RECURSIVE {_EG}, {_MIND} "

@@ -1,0 +1,82 @@
+"""k-core decomposition by iterative peeling (superstep loop).
+
+The k-core is the maximal subgraph in which every vertex has (undirected)
+degree ≥ k — the standard graph-cleaning / community-scaffold primitive on
+link graphs (peels leaves, tendrils, and low-engagement chains off the
+transcript graph before expensive analytics). Beyond-reference capability in
+the same family as PageRank/CC/LP (north rule).
+
+Algorithm: repeatedly delete vertices with current degree < k until none
+remain; the survivors are exactly the k-core (classic peeling — order of
+deletion does not matter, so the synchronous superstep version is exact and
+deterministic). Supersteps = peeling depth, typically ≪ diameter.
+
+Physical plan per superstep: the symmetric edge table is filtered to
+edges with BOTH endpoints alive (two hash semi-joins against the n-row
+alive set — the big edge table itself is never aggregated into new state,
+and the alive set shrinks monotonically), then one count aggregate per
+vertex. Convergence = alive count unchanged (one scalar per superstep, the
+same cadence every other fixpoint here uses). Lineage is cut every
+superstep via the shared Checkpointer.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..plans.graph import GraphFrame
+from ..streaming.superstep import Checkpointer, SuperstepMetrics
+
+
+def k_core(
+    graph: GraphFrame,
+    k: int = 2,
+    max_supersteps: int = 100,
+    checkpointer: Checkpointer | None = None,
+    metrics: SuperstepMetrics | None = None,
+) -> DataFrame:
+    """(v, deg) for every vertex of the k-core; ``deg`` is the degree inside
+    the core (≥ k by construction)."""
+    spark = graph.spark
+    met = metrics if metrics is not None else SuperstepMetrics(name="kcore")
+    ckpt = checkpointer or Checkpointer(spark, name="kcore", every=4)
+
+    sym = (
+        graph.symmetric_edges()
+        .select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()
+
+    # degrees over the full graph seed the first peel
+    alive = (
+        sym.groupBy(F.col("_esrc").alias("v"))
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") >= k)
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+
+    for it in range(1, max_supersteps + 1):
+        t0 = time.monotonic()
+        ev = sym.join(alive.select(F.col("v").alias("_esrc")), "_esrc").join(
+            alive.select(F.col("v").alias("_edst")), "_edst"
+        )
+        nxt = (
+            ev.groupBy(F.col("_esrc").alias("v"))
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+        )
+        nxt = ckpt.step(nxt, it, wall_s=time.monotonic() - t0)
+        n_next = nxt.count()
+        met.record(it, n_next, time.monotonic() - t0)
+        converged = n_next == n_alive
+        alive, n_alive = nxt, n_next
+        if converged or n_alive == 0:
+            break
+    sym.unpersist()
+    return alive

@@ -109,6 +109,26 @@ def test_pagerank_vs_oracle(spark):
     g.unpersist()
 
 
+def test_k_core_vs_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from avgdist_rs_spark.operators.kcore import k_core
+    from avgdist_rs_spark.plans.graph import GraphFrame
+
+    # a 4-clique with a pendant path and an isolated triangle
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)]
+    pdf = pd.DataFrame(pairs, columns=["src", "dst"])
+    g = GraphFrame.from_edges(spark.createDataFrame(pdf), num_nodes=13)
+    G = nx.Graph(pairs)
+    for k in (1, 2, 3, 4):
+        got = {r["v"]: r["deg"] for r in k_core(g, k=k).collect()}
+        core = nx.k_core(G, k)
+        assert set(got) == set(core.nodes), f"k={k}"
+        for v, d in core.degree():
+            assert got[v] == d, f"k={k} v={v}"
+    g.unpersist()
+
+
 def test_pagerank_personalized_vs_oracle(spark):
     """PPR: teleport mass on the seed set; Σrank = 1; matches the pure-python
     oracle at equal iterations; seed-distant mass decays."""
