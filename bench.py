@@ -107,6 +107,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed("label_propagation_4it", lambda: label_propagation(g, iterations=4).count())
 
+    from avgdist_rs_spark.operators.kcore import k_core
+
+    timed("kcore_2", lambda: k_core(g, k=2).count())
+
     # sketch path: per-vertex neighbourhood function for ALL vertices at once
     # (the centrality strategy that replaces all-sources BFS past ~10^7 nodes)
     from avgdist_rs_spark.operators.hyperball import hyperball
@@ -174,6 +178,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         lambda: ivf_ann(emb, k=10, num_queries=32, num_centroids=16, nprobe=4).count(),
     )
     timed("emb_near_dup", lambda: embedding_near_dup_pairs(emb, threshold=0.4).count())
+
+    # the flagship composed pipeline: exact dedup -> near-dup collapse ->
+    # language/quality gates, one plan end-to-end
+    from avgdist_rs_spark.operators.pipeline import training_set_select
+
+    timed(
+        "training_set_select",
+        lambda: training_set_select(docs, lang="en", min_quality=0.6, threshold=0.8).count(),
+    )
 
     ev0_type = events.where(F.col("event_id") == 0).collect()[0]["event_type"]
     timed(
