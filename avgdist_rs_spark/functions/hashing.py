@@ -53,7 +53,17 @@ def hash_stream(salt: str, count: int):
     engine that has md5 (Spark, DuckDB, the local Python oracle) reproduces
     the identical stream, so sampled-estimator results are value-verifiable
     cross-engine at any scale factor — no seed lists to ship around.
+
+    DRIVER-SIDE Python loop by design: callers must keep ``count`` k-sized
+    (k ≈ log₂n/2ε² draws, not O(n) windows — those are generated IN-PLAN via
+    ``spark.range`` + ``portable_hash64``, see
+    ``operators.avgdist.sample_pair_rejection_hash``).
     """
+    if count > 5_000_000:
+        raise ValueError(
+            f"hash_stream(count={count}) is a driver-side loop; "
+            "generate O(n) windows in-plan via spark.range + portable_hash64"
+        )
     import numpy as np
 
     return np.array([py_hash64(str(j), salt) for j in range(count)], dtype=np.int64)
