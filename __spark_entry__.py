@@ -497,6 +497,33 @@ def _q_training_set(spark, sf):
     )
 
 
+_STRAT_FRACS = {"de": 1.0, "en": 0.5, "es": 0.25, "und": 0.1}
+
+
+def _q_corpus_stats(spark, sf):
+    """Per-language corpus rollup (counts, token totals, exact interpolated
+    percentiles) — the pipeline monitoring aggregate."""
+    from avgdist_rs_spark.operators.pipeline import corpus_stats
+
+    return corpus_stats(_docs(spark, sf)).select(
+        "lang_pred",
+        F.col("n_docs").cast("long"),
+        F.col("total_tokens").cast("long"),
+        "mean_quality",
+        "median_tokens",
+        "p90_tokens",
+    )
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic per-language training-mix sample (portable hash mod)."""
+    from avgdist_rs_spark.operators.pipeline import stratified_sample
+
+    return stratified_sample(_docs(spark, sf), _STRAT_FRACS).select(
+        F.col("doc_id").cast("long"), "lang_pred"
+    )
+
+
 def _q_simhash(spark, sf):
     from avgdist_rs_spark.operators.dedup import simhash
 
@@ -793,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": _q_minhash_lsh,
         "doc_dedup_groups": _q_dedup_groups,
         "doc_training_set": _q_training_set,
+        "doc_corpus_stats": _q_corpus_stats,
+        "doc_stratified_sample": _q_stratified_sample,
         "doc_simhash": _q_simhash,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_token_count": _q_token_count,
@@ -1400,6 +1429,62 @@ SELECT id, CASE {cases} ELSE 'und' END AS lang_pred, round(best, 6) AS hit_ratio
 """
 
 
+def _lang_quality_parts(src: str = "documents") -> list[str]:
+    """Shared per-doc language + quality CTEs (lng(id, lang_pred), qs(id, n,
+    quality)) — the same expressions as the doc_lang_id / doc_quality
+    oracles, reusable by rollup/sampling oracles."""
+    langs = sorted(_LANGS)
+    score_cols = []
+    for L in langs:
+        lst = ", ".join(f"'{w}'" for w in _LANGS[L])
+        score_cols.append(
+            f"len(list_filter(ws, w -> list_contains([{lst}], w))) / len(ws) AS sc_{L}"
+        )
+    best = "greatest(" + ", ".join(f"sc_{L}" for L in langs) + ")"
+    cases = " ".join(f"WHEN sc_{L} = best AND best > 0 THEN '{L}'" for L in langs)
+    return [
+        f"lqw AS (SELECT doc_id AS id, text, string_split(text, ' ') AS ws FROM {src})",
+        f"lsc AS (SELECT id, {', '.join(score_cols)} FROM lqw)",
+        f"lb AS (SELECT id, {best} AS best, "
+        + ", ".join(f"sc_{L}" for L in langs)
+        + " FROM lsc)",
+        f"lng AS MATERIALIZED (SELECT id, CASE {cases} ELSE 'und' END AS lang_pred FROM lb)",
+        "qm AS (SELECT id, len(ws) AS n, "
+        "(length(text) - (len(ws) - 1)) / len(ws) AS mean_len, "
+        "len(list_distinct(ws)) / len(ws) AS dr FROM lqw)",
+        "qs AS MATERIALIZED (SELECT id, n, "
+        "round(((CASE WHEN n >= 5 AND n <= 1000 THEN 1.0 ELSE 0.0 END) + "
+        "(CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.0 END) + "
+        "(CASE WHEN dr >= 0.3 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality FROM qm)",
+    ]
+
+
+def _corpus_stats_sql() -> str:
+    parts = _lang_quality_parts()
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT l.lang_pred, count(*)::BIGINT AS n_docs, "
+        "sum(q.n)::BIGINT AS total_tokens, "
+        "round(avg(q.quality), 6) AS mean_quality, "
+        "round(quantile_cont(q.n, 0.5), 6) AS median_tokens, "
+        "round(quantile_cont(q.n, 0.9), 6) AS p90_tokens "
+        "FROM lng l JOIN qs q USING (id) GROUP BY l.lang_pred"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    h = "(('0x' || substr(md5('strat:' || CAST(l.id AS VARCHAR)), 1, 15))::BIGINT)"
+    conds = " OR ".join(
+        f"(l.lang_pred = '{lang}' AND {h} % 1000000 < {int(round(frac * 1_000_000))})"
+        for lang, frac in sorted(_STRAT_FRACS.items())
+    )
+    parts = _lang_quality_parts()
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT l.id::BIGINT AS doc_id, l.lang_pred FROM lng l WHERE {conds}"
+    )
+
+
 def _planes_sql_literals(num_planes: int = 6, dim: int = _EMB_DIM, seed: int = 42) -> list[str]:
     from avgdist_rs_spark.operators.similarity import hyperplanes
 
@@ -1700,6 +1785,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_lsh": _minhash_lsh_sql(),
         "doc_dedup_groups": _dedup_groups_sql(),
         "doc_training_set": _training_set_sql(),
+        "doc_corpus_stats": _corpus_stats_sql(),
+        "doc_stratified_sample": _stratified_sample_sql(),
         "doc_simhash": _simhash_sql() + "SELECT id::BIGINT AS id, simhash FROM fp",
         "doc_simhash_pairs": (
             _simhash_sql()

@@ -34,6 +34,68 @@ from .dedup import dedup_groups
 from .textstats import lang_id, quality_score
 
 
+def corpus_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language corpus rollup — the monitoring aggregate a pipeline runs
+    next to every selection job: (lang_pred, n_docs, total_tokens,
+    mean_quality, median_tokens, p90_tokens).
+
+    Pure two-level aggregation (per-doc stats → one groupBy on the language
+    key): map-side combinable, one exchange of per-doc skinny rows, exact
+    interpolated percentiles (``percentile`` ≡ DuckDB ``quantile_cont``)."""
+    from .textstats import lang_id, quality_score
+
+    li = lang_id(docs, id_col, text_col).select("id", "lang_pred")
+    qs = quality_score(docs, id_col, text_col).select("id", "n_tokens", "quality")
+    return (
+        li.join(qs, "id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("median_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90_tokens"),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "strat:",
+) -> DataFrame:
+    """Deterministic per-language sample — the training-mix primitive
+    (up/down-weighting strata when composing a corpus).
+
+    A doc with language L is kept iff
+    ``portable_hash64(salt || id) mod 1_000_000 < fractions[L] · 1_000_000``
+    — a pure projection + filter (no shuffle, no RNG state), reproducible by
+    ANY engine with md5, so the sample itself is oracle-verifiable. Strata
+    absent from ``fractions`` are dropped. Returns (doc_id, lang_pred).
+    """
+    from ..functions.hashing import portable_hash64
+    from .textstats import lang_id
+
+    li = lang_id(docs, id_col, text_col).select(
+        F.col("id").alias(id_col), "lang_pred"
+    )
+    h = portable_hash64(F.col(id_col).cast("string"), salt=salt)
+    bucket = F.pmod(h, F.lit(1_000_000))
+    thr = None
+    for lang, frac in sorted(fractions.items()):
+        cond = (F.col("lang_pred") == lang) & (bucket < int(round(frac * 1_000_000)))
+        thr = cond if thr is None else (thr | cond)
+    if thr is None:
+        raise ValueError("fractions must name at least one stratum")
+    return li.where(thr).select(id_col, "lang_pred")
+
+
 def training_set_select(
     docs: DataFrame,
     lang: str = "en",
