@@ -1,0 +1,44 @@
+"""Semantics of the corpus rollup and the stratified training-mix sampler."""
+
+from pyspark.sql import functions as F
+
+
+def test_corpus_stats_semantics(spark):
+    from avgdist_rs_spark.operators.pipeline import corpus_stats
+
+    en = "the cat and the dog ran to the park and sat on it for fun"
+    de = "der hund und die katze sind in den garten mit von zu ist da"
+    docs = spark.createDataFrame(
+        [(0, en), (1, en + " again today"), (2, de)],
+        "doc_id long, text string",
+    )
+    got = {r["lang_pred"]: r for r in corpus_stats(docs).collect()}
+    assert set(got) == {"en", "de"}
+    assert got["en"]["n_docs"] == 2 and got["de"]["n_docs"] == 1
+    # exact interpolated median of [15, 17] = 16
+    assert got["en"]["median_tokens"] == 16.0
+    assert got["en"]["total_tokens"] == 32 and got["de"]["total_tokens"] == 14
+
+
+def test_stratified_sample_fractions(spark):
+    from avgdist_rs_spark.operators.pipeline import stratified_sample
+    from avgdist_rs_spark.operators.textstats import lang_id
+
+    en = "the cat and the dog ran to the park and sat on it for fun doc "
+    docs = spark.createDataFrame(
+        [(i, en + str(i)) for i in range(400)], "doc_id long, text string"
+    )
+    # frac=1 keeps everything, frac=0 would keep nothing; 0.5 lands near half
+    full = stratified_sample(docs, {"en": 1.0}).count()
+    assert full == 400
+    half = stratified_sample(docs, {"en": 0.5}).count()
+    assert 140 <= half <= 260
+    # deterministic: same call, same sample
+    a = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.5}).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.5}).collect()}
+    assert a == b and len(a) == half
+    # absent strata are dropped entirely
+    assert stratified_sample(docs, {"de": 1.0}).count() == 0
+    # the kept set is a subset of the full stratum with the predicted language
+    langs = {r["id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert all(langs[i] == "en" for i in a)
