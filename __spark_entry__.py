@@ -217,6 +217,25 @@ def _q_pagerank_personalized(spark, sf):
     return _orig(g, pr, ["v"]).select("v", F.round("rank", 6).alias("rank"))
 
 
+def _q_clustering(spark, sf):
+    """Per-vertex local clustering coefficients (triangle machinery + one
+    degree aggregate)."""
+    from avgdist_rs_spark.operators.triangles import clustering_coefficients
+
+    g = _graph(spark, sf)
+    cc = clustering_coefficients(g)
+    return _orig(g, cc, ["v"]).select("v", "deg", "triangles", "lcc")
+
+
+def _q_graph_summary(spark, sf):
+    """One-row structural profile: counts, extremes, transitivity,
+    degree assortativity."""
+    from avgdist_rs_spark.operators.degrees import graph_summary
+
+    g = _graph(spark, sf)
+    return graph_summary(g)
+
+
 def _q_kcore(spark, sf):
     """2-core of the event graph: iterative peeling (leaves/tendrils off)."""
     from avgdist_rs_spark.operators.kcore import k_core
@@ -796,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_pagerank_personalized": _q_pagerank_personalized,
         "eg_label_propagation": _q_label_propagation,
         "eg_kcore": _q_kcore,
+        "eg_clustering": _q_clustering,
+        "eg_graph_summary": _q_graph_summary,
         "eg_avgdist_exact": _q_avgdist_exact,
         "eg_harmonic": _q_harmonic,
         "eg_closeness": _q_closeness,
@@ -1143,6 +1164,60 @@ def _ppr_sql() -> str:
         )
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT v, round(rank, 6) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+_CA_PARTS = [
+    "ca AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+    "greatest(src, dst) AS b FROM eg_edges WHERE src <> dst)",
+    "cdeg AS MATERIALIZED (SELECT v, count(*) AS d FROM "
+    "(SELECT a AS v FROM ca UNION ALL SELECT b FROM ca) GROUP BY v)",
+    "ctri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ca e1 "
+    "JOIN ca e2 ON e2.a = e1.a AND e2.b > e1.b "
+    "JOIN ca e3 ON e3.a = e1.b AND e3.b = e2.b)",
+]
+
+
+def _clustering_sql() -> str:
+    parts = [_EG, *_CA_PARTS,
+        "tv AS MATERIALIZED (SELECT v, count(*) AS t FROM "
+        "(SELECT x AS v FROM ctri UNION ALL SELECT y FROM ctri "
+        "UNION ALL SELECT z FROM ctri) GROUP BY v)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT t.v, coalesce(d.d, 0)::BIGINT AS deg, "
+        "coalesce(tv.t, 0)::BIGINT AS triangles, "
+        "CASE WHEN coalesce(d.d, 0) >= 2 "
+        "THEN round(2.0 * coalesce(tv.t, 0) / (d.d * (d.d - 1)), 6) "
+        "ELSE 0.0 END AS lcc "
+        "FROM eg_verts t LEFT JOIN cdeg d ON d.v = t.v LEFT JOIN tv ON tv.v = t.v"
+    )
+
+
+def _graph_summary_sql() -> str:
+    parts = [_EG, _NN, *_CA_PARTS,
+        "wdg AS (SELECT sum(d * (d - 1)) / 2.0 AS w FROM cdeg)",
+        "tc AS (SELECT count(*) AS t FROM ctri)",
+        "sym2 AS (SELECT a, b FROM ca UNION ALL SELECT b, a FROM ca)",
+        "ast AS (SELECT corr(da.d, db.d) AS r FROM sym2 s "
+        "JOIN cdeg da ON da.v = s.a JOIN cdeg db ON db.v = s.b)",
+        "dcs AS (SELECT count(DISTINCT src) AS nsrc, count(DISTINCT dst) AS ndst, "
+        "count(*) AS m FROM eg_edges)",
+        "mo AS (SELECT max(c) AS mo FROM (SELECT count(*) AS c FROM eg_edges GROUP BY src))",
+        "mi AS (SELECT max(c) AS mi FROM (SELECT count(*) AS c FROM eg_edges GROUP BY dst))",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT (SELECT n FROM nn)::BIGINT AS num_nodes, "
+        "(SELECT m FROM dcs)::BIGINT AS num_edges, "
+        "((SELECT n FROM nn) - (SELECT nsrc FROM dcs))::BIGINT AS num_sinks, "
+        "((SELECT n FROM nn) - (SELECT ndst FROM dcs))::BIGINT AS num_sources, "
+        "(SELECT mo FROM mo)::BIGINT AS max_out_degree, "
+        "(SELECT mi FROM mi)::BIGINT AS max_in_degree, "
+        "(SELECT t FROM tc)::BIGINT AS triangles, "
+        "round(3.0 * (SELECT t FROM tc) / (SELECT w FROM wdg), 6) AS transitivity, "
+        "round((SELECT r FROM ast), 6) AS assortativity"
     )
 
 
@@ -1665,6 +1740,8 @@ def oracle_sql() -> dict[str, str]:
         "eg_pagerank": _pagerank_sql(),
         "eg_pagerank_personalized": _ppr_sql(),
         "eg_kcore": _kcore_sql(),
+        "eg_clustering": _clustering_sql(),
+        "eg_graph_summary": _graph_summary_sql(),
         "eg_label_propagation": _lp_sql(),
         "eg_avgdist_exact": (
             f"WITH RECURSIVE {_EG}, {_MIND} "

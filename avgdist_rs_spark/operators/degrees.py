@@ -51,3 +51,80 @@ def hubs(graph: GraphFrame, threshold: int | None = None, direction: str = "out"
         .agg(F.count("*").alias("degree"))
         .filter(F.col("degree") > threshold)
     )
+
+
+def graph_summary(graph: GraphFrame, orientation: str = "auto") -> DataFrame:
+    """One-row structural profile of the graph — the first query anyone runs:
+    (num_nodes, num_edges, num_sinks, num_sources, max_out_degree,
+    max_in_degree, triangles, transitivity, assortativity).
+
+    - ``transitivity`` = 3·triangles / wedges (wedges = Σ d(d−1)/2 over the
+      undirected-distinct degree) — the global clustering coefficient.
+    - ``assortativity`` = Pearson correlation of endpoint degrees over the
+      symmetric edge list (each undirected edge contributes both directions —
+      the standard degree-assortativity estimator).
+
+    All components are single aggregates over the edge/degree tables crossed
+    together as 1-row broadcasts; the triangle count reuses the measured
+    auto-orientation path.
+    """
+    from .triangles import canonical_edges, triangle_count
+
+    spark = graph.spark
+    n = graph.num_nodes
+    und = canonical_edges(graph).persist()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+        .persist()
+    )
+    tri = triangle_count(graph, orientation)
+    wedges = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2.0)).alias("w")
+    )
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sd = sym.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a").join(
+        deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b"
+    )
+    assort = sd.agg(F.corr("da", "db").alias("r"))
+    degs = graph.edges.agg(
+        F.countDistinct("src").alias("nsrc"), F.countDistinct("dst").alias("ndst")
+    )
+    maxs = (
+        graph.edges.groupBy("src").agg(F.count("*").alias("od"))
+        .agg(F.max("od").alias("mo"))
+    )
+    maxd = (
+        graph.edges.groupBy("dst").agg(F.count("*").alias("id_"))
+        .agg(F.max("id_").alias("mi"))
+    )
+    out = (
+        spark.range(1)
+        .select(
+            F.lit(n).cast("long").alias("num_nodes"),
+            F.lit(graph.num_edges).cast("long").alias("num_edges"),
+            F.lit(tri).cast("long").alias("triangles"),
+        )
+        .crossJoin(F.broadcast(degs))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(assort))
+        .crossJoin(F.broadcast(maxs))
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "num_nodes",
+            "num_edges",
+            (F.lit(n) - F.col("nsrc")).cast("long").alias("num_sinks"),
+            (F.lit(n) - F.col("ndst")).cast("long").alias("num_sources"),
+            F.col("mo").cast("long").alias("max_out_degree"),
+            F.col("mi").cast("long").alias("max_in_degree"),
+            "triangles",
+            F.round(F.lit(3.0) * F.lit(tri) / F.col("w"), 6).alias("transitivity"),
+            F.round(F.col("r"), 6).alias("assortativity"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    deg.unpersist()
+    return out

@@ -112,3 +112,42 @@ def per_vertex_triangles(graph: GraphFrame, orientation: str = "auto") -> DataFr
     out = out.localCheckpoint(eager=True)
     o.unpersist()
     return out
+
+
+def clustering_coefficients(graph: GraphFrame, orientation: str = "auto") -> DataFrame:
+    """(v, deg, triangles, lcc) for EVERY vertex — local clustering
+    coefficient lcc = 2·tri / (deg·(deg−1)), 0 for deg < 2.
+
+    Degrees are undirected-distinct (the same view the triangle count uses);
+    the per-vertex triangle counts reuse the oriented wedge join, so the
+    whole thing is the triangle machinery plus one degree aggregate and a
+    projection — no new shuffle shapes."""
+    und = canonical_edges(graph)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = per_vertex_triangles(graph, orientation)
+    return (
+        graph.vertices()
+        .join(deg, "v", "left")
+        .join(tri, "v", "left")
+        .select(
+            "v",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.coalesce(F.col("deg"), F.lit(0)) >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

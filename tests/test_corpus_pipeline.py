@@ -42,3 +42,31 @@ def test_stratified_sample_fractions(spark):
     # the kept set is a subset of the full stratum with the predicted language
     langs = {r["id"]: r["lang_pred"] for r in lang_id(docs).collect()}
     assert all(langs[i] == "en" for i in a)
+
+
+def test_clustering_and_summary_vs_networkx(spark):
+    import pytest
+    nx = pytest.importorskip("networkx")
+    import pandas as pd
+    from avgdist_rs_spark.operators.degrees import graph_summary
+    from avgdist_rs_spark.operators.triangles import clustering_coefficients
+    from avgdist_rs_spark.plans.graph import GraphFrame
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 2), (5, 0), (1, 5)]
+    pdf = pd.DataFrame(pairs, columns=["src", "dst"])
+    g = GraphFrame.from_edges(spark.createDataFrame(pdf), num_nodes=7)
+    G = nx.Graph(pairs)
+    G.add_nodes_from(range(7))
+    lcc = nx.clustering(G)
+    got = {r["v"]: r for r in clustering_coefficients(g).collect()}
+    for v in range(7):
+        assert got[v]["lcc"] == pytest.approx(lcc[v], abs=1e-6), f"v={v}"
+        assert got[v]["deg"] == G.degree(v)
+    s = graph_summary(g).collect()[0]
+    assert s["num_nodes"] == 7 and s["num_edges"] == 8
+    assert s["triangles"] == sum(nx.triangles(G).values()) // 3
+    assert s["transitivity"] == pytest.approx(nx.transitivity(G), abs=1e-6)
+    assert s["assortativity"] == pytest.approx(
+        nx.degree_assortativity_coefficient(G), abs=1e-6
+    )
+    g.unpersist()
