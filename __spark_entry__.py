@@ -217,6 +217,19 @@ def _q_pagerank_personalized(spark, sf):
     return _orig(g, pr, ["v"]).select("v", F.round("rank", 6).alias("rank"))
 
 
+def _q_scc(spark, sf):
+    """Strongly connected components (trim + FB coloring). The session/event
+    graph is a DAG, so the oracle is an unrolled trim with a LOUD guard: if a
+    cyclic remainder ever appears at some scale factor, the oracle errors
+    instead of silently mismatching (the engine handles cycles either way —
+    unit-tested vs networkx on cyclic digraphs)."""
+    from avgdist_rs_spark.operators.scc import strongly_connected_components
+
+    g = _graph(spark, sf)
+    sc = strongly_connected_components(g)
+    return _orig(g, sc, ["v", "component"]).select("v", "component")
+
+
 def _q_clustering(spark, sf):
     """Per-vertex local clustering coefficients (triangle machinery + one
     degree aggregate)."""
@@ -815,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_pagerank_personalized": _q_pagerank_personalized,
         "eg_label_propagation": _q_label_propagation,
         "eg_kcore": _q_kcore,
+        "eg_scc": _q_scc,
         "eg_clustering": _q_clustering,
         "eg_graph_summary": _q_graph_summary,
         "eg_avgdist_exact": _q_avgdist_exact,
@@ -1176,6 +1190,39 @@ _CA_PARTS = [
     "JOIN ca e2 ON e2.a = e1.a AND e2.b > e1.b "
     "JOIN ca e3 ON e3.a = e1.b AND e3.b = e2.b)",
 ]
+
+
+_SCC_TRIM_ROUNDS = 6
+
+
+def _scc_sql() -> str:
+    """Unrolled trim: aᵢ = vertices with BOTH an alive successor and an alive
+    predecessor. On a DAG this empties; the guard errors on any cyclic
+    remainder (raise rounds / extend the oracle, never mismatch silently).
+    Every trimmed vertex is its own singleton SCC."""
+    parts = [
+        _EG,
+        "sa0 AS MATERIALIZED (SELECT v FROM eg_verts)",
+    ]
+    for i in range(1, _SCC_TRIM_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"sa{i} AS MATERIALIZED (SELECT a.v FROM sa{p} a WHERE "
+            f"EXISTS (SELECT 1 FROM eg_edges e JOIN sa{p} x ON x.v = e.dst "
+            f"WHERE e.src = a.v) AND "
+            f"EXISTS (SELECT 1 FROM eg_edges e JOIN sa{p} x ON x.v = e.src "
+            f"WHERE e.dst = a.v))"
+        )
+    parts.append(
+        f"sccguard AS (SELECT CASE WHEN (SELECT count(*) FROM sa{_SCC_TRIM_ROUNDS}) > 0 "
+        f"THEN error('oracle scc trim found a cyclic remainder: extend the oracle') "
+        f"ELSE 1 END AS ok)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT v, v AS component FROM eg_verts "
+        "WHERE (SELECT ok FROM sccguard) = 1"
+    )
 
 
 def _clustering_sql() -> str:
@@ -1740,6 +1787,7 @@ def oracle_sql() -> dict[str, str]:
         "eg_pagerank": _pagerank_sql(),
         "eg_pagerank_personalized": _ppr_sql(),
         "eg_kcore": _kcore_sql(),
+        "eg_scc": _scc_sql(),
         "eg_clustering": _clustering_sql(),
         "eg_graph_summary": _graph_summary_sql(),
         "eg_label_propagation": _lp_sql(),

@@ -70,3 +70,54 @@ def test_clustering_and_summary_vs_networkx(spark):
         nx.degree_assortativity_coefficient(G), abs=1e-6
     )
     g.unpersist()
+
+
+def test_scc_vs_networkx(spark):
+    import pytest
+    nx = pytest.importorskip("networkx")
+    import pandas as pd
+    from avgdist_rs_spark.operators.scc import strongly_connected_components
+    from avgdist_rs_spark.plans.graph import GraphFrame
+
+    # two directed cycles bridged one-way, a chain in, a chain out, a
+    # self-loop, and isolated vertices
+    pairs = [
+        (0, 1), (1, 2), (2, 0),          # 3-cycle
+        (2, 3), (3, 4), (4, 5), (5, 3),  # bridge into a second 3-cycle
+        (6, 0),                          # chain into the first cycle
+        (5, 7), (7, 8),                  # chain out
+        (9, 9),                          # self-loop
+    ]
+    pdf = pd.DataFrame(pairs, columns=["src", "dst"])
+    g = GraphFrame.from_edges(spark.createDataFrame(pdf), num_nodes=12, dedup=False)
+    got = {r["v"]: r["component"] for r in strongly_connected_components(g).collect()}
+    G = nx.DiGraph(pairs)
+    G.add_nodes_from(range(12))
+    assert set(got) == set(range(12))
+    for comp in nx.strongly_connected_components(G):
+        label = min(comp)
+        for v in comp:
+            assert got[v] == label, f"v={v}"
+    g.unpersist()
+
+
+def test_scc_large_cycle_and_dag(spark):
+    """A 64-vertex directed cycle (one giant SCC exercising the coloring +
+    backward sweep — O(cycle length) supersteps, so kept small) plus a DAG
+    tail (trim path)."""
+    from pyspark.sql import functions as F
+    from avgdist_rs_spark.operators.scc import strongly_connected_components
+    from avgdist_rs_spark.plans.graph import GraphFrame
+
+    n = 64
+    cyc = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    tail = spark.range(n, n + 20).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    g = GraphFrame.from_edges(cyc.unionAll(tail), num_nodes=n + 21, dedup=False)
+    got = {r["v"]: r["component"] for r in strongly_connected_components(g).collect()}
+    assert all(got[v] == 0 for v in range(n))
+    assert all(got[v] == v for v in range(n, n + 21))
+    g.unpersist()
