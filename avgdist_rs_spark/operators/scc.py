@@ -73,11 +73,9 @@ def strongly_connected_components(
         # ---- phase 1: trim fixpoint (singleton SCCs) -----------------------
         while n_alive > 0:
             t0 = time.monotonic()
-            ea = (
-                edges.join(alive.select(F.col("v").alias("_s")), "_s")
-                .join(alive.select(F.col("v").alias("_d")), "_d")
-                .persist()
-            )
+            ea = edges.join(alive.select(F.col("v").alias("_s")), "_s").join(
+                alive.select(F.col("v").alias("_d")), "_d"
+            ).persist()
             keep = (
                 alive.join(ea.select(F.col("_s").alias("v")).distinct(), "v", "semi")
                 .join(ea.select(F.col("_d").alias("v")).distinct(), "v", "semi")
@@ -88,11 +86,12 @@ def strongly_connected_components(
             if n_keep == n_alive:
                 _record(0, t0)
                 break
+            # dead derives from two checkpointed frames — lineage stays
+            # shallow without materializing the growing union every step
             dead = alive.join(keep, "v", "anti").select(
                 "v", F.col("v").alias("component")
             )
             assigned = dead if assigned is None else assigned.unionAll(dead)
-            assigned = ckpt.step(assigned, step + 1)
             alive, n_alive = keep, n_keep
             _record(n_alive, t0)
         if n_alive == 0:
@@ -161,9 +160,10 @@ def strongly_connected_components(
             frontier = new
         # label each found SCC with its min member; remove from alive
         labels = mem.groupBy("color").agg(F.min("v").alias("component"))
-        found = mem.join(labels, "color").select("v", "component")
+        found = (
+            mem.join(labels, "color").select("v", "component").localCheckpoint(eager=True)
+        )
         assigned = found if assigned is None else assigned.unionAll(found)
-        assigned = ckpt.step(assigned, step)
         alive = alive.join(mem.select("v"), "v", "anti").localCheckpoint(eager=True)
         n_alive = alive.count()
         color.unpersist()

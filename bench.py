@@ -111,6 +111,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed("kcore_2", lambda: k_core(g, k=2).count())
 
+    from avgdist_rs_spark.operators.scc import strongly_connected_components
+
+    timed("scc", lambda: strongly_connected_components(g).count())
+
     # sketch path: per-vertex neighbourhood function for ALL vertices at once
     # (the centrality strategy that replaces all-sources BFS past ~10^7 nodes)
     from avgdist_rs_spark.operators.hyperball import hyperball
