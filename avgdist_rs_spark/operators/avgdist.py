@@ -604,6 +604,8 @@ def avgdist_main(
     Hoeffding k. Batches already run are reported identically — early stop
     never changes numbers, only how many batches exist.
     """
+    if fuse_batches < 1:
+        raise ValueError(f"fuse_batches must be >= 1, got {fuse_batches}")
     n = graph.num_nodes
     k = k_formula(n, eps)
     rng = np.random.default_rng(seed)

@@ -61,7 +61,7 @@ def word_shingles(
     duplicate-insensitive consumer (MinHash mins), where it also moves the
     per-shingle hashing to the map side of the ONLY remaining exchange.
     """
-    from ..plans.graph import _num_partitions_for
+    from ..plans.graph import spread
 
     words = F.split(F.col(text_col), " ")
     # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs shorter
@@ -76,12 +76,10 @@ def word_shingles(
     # spread the (cheap, pre-explode) doc rows across the session parallelism
     # FIRST: a small-file parquet scan arrives as one partition, and the
     # explode × num_hashes hashing downstream — the actual cost — inherits the
-    # scan's parallelism, not the shuffle default. The exchange moves only the
-    # raw docs (tiny vs the shingle table it fans out into).
-    spread = docs.repartition(
-        _num_partitions_for(docs.sparkSession), F.col(id_col)
-    )
-    out = spread.select(F.col(id_col).alias("id"), F.explode(gram).alias("shingle"))
+    # scan's parallelism, not the shuffle default. Conditional (plans.graph
+    # .spread): well-partitioned corpora skip the exchange entirely.
+    sp = spread(docs, id_col)
+    out = sp.select(F.col(id_col).alias("id"), F.explode(gram).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -233,12 +231,12 @@ def simhash(
     −1; fingerprint bit b is set iff the column sum > 0. Implemented as
     ``bits`` sum-aggregates in a single groupBy (no per-bit row explosion).
     """
-    from ..plans.graph import _num_partitions_for
+    from ..plans.graph import spread
 
     # same spread-before-explode rationale as word_shingles: the word explode
     # and 64-bit hashing must not inherit a single-file scan's one partition
     wd = (
-        docs.repartition(_num_partitions_for(docs.sparkSession), F.col(id_col))
+        spread(docs, id_col)
         .select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.col(text_col), " ")).alias("w"),
@@ -334,22 +332,56 @@ def dedup_groups(
     doc id as each group's canonical survivor. Returns (doc_id, keep_id) for
     EVERY document — singletons keep themselves; ``keep_id`` is the group key.
 
-    Scale shape: the pair graph is tiny relative to the corpus (only docs with
-    a band collision appear), and ``connected_components`` is the pointer-
-    jumping O(log diameter) operator — transitive near-dup chains (the reason
-    a per-pair greedy drop is wrong) cost log, not linear, supersteps.
+    Scale shape: the pair graph is tiny relative to the corpus (only docs
+    with a verified band collision appear), so the min-label fixpoint runs
+    over JUST those vertices — no dense-id assumption, sparse/snowflake doc
+    ids are fine, and every other document joins back as its own singleton.
+    Duplicate clusters are near-cliques, so plain hash-min converges in a
+    handful of supersteps; a convergence guard raises rather than returning
+    a half-collapsed labeling.
     """
-    from ..plans.graph import GraphFrame
-    from .components import connected_components
-
-    pairs = minhash_lsh_pairs(docs, num_hashes, bands, k, threshold, id_col, text_col)
-    n = docs.agg(F.max(F.col(id_col)).cast("long")).collect()[0][0] + 1
-    g = GraphFrame.from_edges(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-        num_nodes=int(n),
-        dedup=False,
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes, bands, k, threshold, id_col, text_col
+    ).persist()
+    sym = (
+        pairs.select(F.col("a").alias("_s"), F.col("b").alias("_d"))
+        .unionAll(pairs.select(F.col("b").alias("_s"), F.col("a").alias("_d")))
+        .persist()
     )
-    cc = connected_components(g)
-    out = cc.select(F.col("v").alias(id_col), F.col("component").alias("keep_id"))
-    g.unpersist()
-    return out
+    lab = (
+        sym.select(F.col("_s").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(64):
+        contrib = lab.join(sym, lab.v == F.col("_s")).select(
+            F.col("_d").alias("v"),
+            F.col("comp").alias("cand"),
+            F.lit(None).cast("long").alias("_prev"),
+        )
+        state = lab.select("v", F.col("comp").alias("cand"), F.col("comp").alias("_prev"))
+        stepped = (
+            contrib.unionAll(state)
+            .groupBy("v")
+            .agg(F.min("cand").alias("comp"), F.max("_prev").alias("_old"))
+            .localCheckpoint(eager=True)
+        )
+        changed = int(
+            stepped.agg(F.sum((F.col("comp") != F.col("_old")).cast("long"))).collect()[
+                0
+            ][0]
+            or 0
+        )
+        lab = stepped.drop("_old")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("dedup_groups: pair-graph min-label fixpoint not converged")
+    sym.unpersist()
+    pairs.unpersist()
+    return (
+        docs.select(F.col(id_col))
+        .join(lab.select(F.col("v").alias(id_col), "comp"), id_col, "left")
+        .select(id_col, F.coalesce(F.col("comp"), F.col(id_col)).alias("keep_id"))
+    )

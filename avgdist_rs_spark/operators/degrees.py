@@ -80,7 +80,7 @@ def graph_summary(graph: GraphFrame, orientation: str = "auto") -> DataFrame:
         .agg(F.count("*").alias("d"))
         .persist()
     )
-    tri = triangle_count(graph, orientation)
+    tri = triangle_count(graph, orientation, canonical=und)
     wedges = deg.agg(
         (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2.0)).alias("w")
     )

@@ -61,7 +61,10 @@ def k_core(
     )
     n_alive = alive.count()
 
+    converged = n_alive == 0
     for it in range(1, max_supersteps + 1):
+        if converged:
+            break
         t0 = time.monotonic()
         ev = sym.join(alive.select(F.col("v").alias("_esrc")), "_esrc").join(
             alive.select(F.col("v").alias("_edst")), "_edst"
@@ -74,9 +77,14 @@ def k_core(
         nxt = ckpt.step(nxt, it, wall_s=time.monotonic() - t0)
         n_next = nxt.count()
         met.record(it, n_next, time.monotonic() - t0)
-        converged = n_next == n_alive
+        converged = n_next == n_alive or n_next == 0
         alive, n_alive = nxt, n_next
-        if converged or n_alive == 0:
-            break
     sym.unpersist()
+    if not converged:
+        # mirror the SQL oracle's error() guard: a truncated peel is a
+        # SUPERSET of the k-core — never return it silently
+        raise RuntimeError(
+            f"k_core: peeling not converged after {max_supersteps} supersteps "
+            f"({n_alive} vertices still alive); raise max_supersteps"
+        )
     return alive

@@ -129,8 +129,15 @@ def strongly_connected_components(
             )
             color = stepped.drop("_old")
             _record(changed, t0)
-            if changed == 0 or step >= max_supersteps:
+            if changed == 0:
                 break
+            if step >= max_supersteps:
+                # a truncated color fixpoint would silently split SCCs —
+                # fail loudly like every other fixpoint here
+                raise RuntimeError(
+                    f"scc: color propagation not converged within "
+                    f"max_supersteps={max_supersteps}; raise the budget"
+                )
         color = color.persist(StorageLevel.MEMORY_AND_DISK)
         color.count()
         # backward frontier from each pivot within its color class, in parallel
@@ -153,8 +160,13 @@ def strongly_connected_components(
             new = preds.join(mem, ["v", "color"], "anti").localCheckpoint(eager=True)
             n_new = new.count()
             _record(n_new, t0)
-            if n_new == 0 or step >= max_supersteps:
+            if n_new == 0:
                 break
+            if step >= max_supersteps:
+                raise RuntimeError(
+                    f"scc: backward sweep not converged within "
+                    f"max_supersteps={max_supersteps}; raise the budget"
+                )
             mem = mem.unionAll(new)
             mem = ckpt.step(mem, step)
             frontier = new

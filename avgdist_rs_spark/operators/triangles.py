@@ -30,7 +30,9 @@ def canonical_edges(graph: GraphFrame) -> DataFrame:
     return e.filter(F.col("a") != F.col("b")).distinct()
 
 
-def _oriented(graph: GraphFrame, orientation: str) -> DataFrame:
+def _oriented(
+    graph: GraphFrame, orientation: str, canonical: DataFrame | None = None
+) -> DataFrame:
     """(tail, head, dh) with rank(tail) < rank(head); rank = (degree, id)
     for ``orientation="degree"``, plain id for ``"id"``. ``dh`` rides along so
     the wedge self-join can compare head ranks without re-joining degrees.
@@ -43,7 +45,7 @@ def _oriented(graph: GraphFrame, orientation: str) -> DataFrame:
     and the degree rank (arboricity-bounded O(m^1.5) wedges) pays for its two
     extra joins many times over.
     """
-    und = canonical_edges(graph)
+    und = canonical_edges(graph) if canonical is None else canonical
     if orientation == "auto":
         cost_id = (
             und.groupBy("a")
@@ -78,8 +80,10 @@ def _oriented(graph: GraphFrame, orientation: str) -> DataFrame:
     )
 
 
-def _closed_wedges(graph: GraphFrame, orientation: str) -> DataFrame:
-    o = _oriented(graph, orientation).persist()
+def _closed_wedges(
+    graph: GraphFrame, orientation: str, canonical: DataFrame | None = None
+) -> DataFrame:
+    o = _oriented(graph, orientation, canonical).persist()
     o.count()
     o1 = o.select(F.col("tail"), F.col("head").alias("h1"), F.col("dh").alias("d1"))
     o2 = o.select(F.col("tail"), F.col("head").alias("h2"), F.col("dh").alias("d2"))
@@ -94,8 +98,15 @@ def _closed_wedges(graph: GraphFrame, orientation: str) -> DataFrame:
     return tri, o
 
 
-def triangle_count(graph: GraphFrame, orientation: str = "auto") -> int:
-    tri, o = _closed_wedges(graph, orientation)
+def triangle_count(
+    graph: GraphFrame,
+    orientation: str = "auto",
+    canonical: DataFrame | None = None,
+) -> int:
+    """Total undirected triangles. ``canonical`` lets callers that already
+    derived the (a < b) distinct edge view (graph_summary) avoid a second
+    canonicalization scan of the edge table."""
+    tri, o = _closed_wedges(graph, orientation, canonical)
     n = tri.count()
     o.unpersist()
     return n

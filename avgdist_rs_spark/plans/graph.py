@@ -48,6 +48,22 @@ def _num_partitions_for(spark: SparkSession) -> int:
     return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
+def spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-spread a DataFrame to session parallelism when its scan arrived
+    narrower (a small parquet file = ONE partition, and every projection
+    downstream — shingle explodes, per-word hashing, plane projections, Lloyd
+    assignments — inherits it). No-op for well-partitioned inputs, so the
+    zero-corpus-shuffle claims of the operators hold where they matter. The
+    guard reads the physical partition count: plan-time for plain scans; for
+    inputs that already contain exchanges, AQE may materialize the upstream
+    stages to answer it — corpus operators apply this at the SCAN, where it
+    is free."""
+    n = _num_partitions_for(df.sparkSession)
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, F.col(key_col))
+    return df
+
+
 @dataclass
 class CSR:
     """Compressed sparse row adjacency: successors(v) = targets[offsets[v]:offsets[v+1]]."""
