@@ -816,6 +816,18 @@ def _q_hyperball_nf(spark, sf):
     )
 
 
+def _q_hyperball_ecc(spark, sf):
+    """Per-vertex eccentricity estimate from the SAME HyperBall run: the last
+    radius at which a vertex's ball sketch still grew (standard HyperBall
+    ecc lower bound; diameter estimate = its max). SQL-replayed exactly via
+    the monotone-register-sum change predicate."""
+    from avgdist_rs_spark.operators.hyperball import hyperball
+
+    g = _graph(spark, sf)
+    hb = hyperball(g, p=_HB_P)
+    return _orig(g, hb, ["v"]).select("v", F.col("ecc_est").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "eg_edges": _q_edges,
@@ -849,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_avgdist_weighted": _q_avgdist_weighted,
         "eg_avgdist_pairs": _q_avgdist_pairs,
         "eg_hyperball_nf": _q_hyperball_nf,
+        "eg_hyperball_ecc": _q_hyperball_ecc,
         "doc_dedup_exact": _q_dedup_exact,
         "doc_jaccard_pairs": _q_jaccard_pairs,
         "doc_minhash_signatures": _q_minhash_signatures,
@@ -1038,7 +1051,7 @@ WHERE r.rank <= (SELECT k FROM ks)
 """
 
 
-def _hyperball_sql() -> str:
+def _hyperball_prefix() -> str:
     """Bit-exact SQL replay of the HyperBall sketch (operators/hyperball.py).
 
     Register init is splitmix64 on the dense id — 64-bit mod-2^64 arithmetic
@@ -1086,6 +1099,18 @@ ballreg AS MATERIALIZED (
   SELECT mem.v, ts.t, r.j, max(r.rho) AS rho
   FROM hbmem mem JOIN hbts ts ON mem.d <= ts.t JOIN vreg r ON r.v = mem.w
   GROUP BY mem.v, ts.t, r.j),
+"""
+
+
+def _hyperball_sql() -> str:
+    p, m = _HB_P, 1 << _HB_P
+    from avgdist_rs_spark.operators.hyperball import _alpha, lc_table
+
+    emm = repr(float(_alpha(m) * m * m))
+    lim = repr(float(2.5 * m))
+    lcv = lc_table(m)
+    lc_cases = " ".join(f"WHEN {z} THEN {float(lcv[z])!r}" for z in range(1, m + 1))
+    return _hyperball_prefix() + f"""
 hbagg AS (
   SELECT v, t, {m} - count(*) AS z,
          sum(CASE WHEN rho <= 26 THEN 1::BIGINT << (26 - rho) ELSE 0 END)
@@ -1109,6 +1134,20 @@ SELECT v,
     AS dist_sum_est
 FROM hbinc GROUP BY v
 """
+
+
+def _hyperball_ecc_sql() -> str:
+    """Eccentricity estimate = last radius at which the register table still
+    grew. Registers are monotone non-decreasing in t, so Σrho strictly
+    increases iff ANY register changed — the exact change predicate the
+    engine uses (bytes inequality), replayed arithmetically."""
+    return _hyperball_prefix() + """
+hbsum AS (SELECT v, t, sum(rho) AS s FROM ballreg GROUP BY v, t),
+hbchg AS (SELECT v, t, s - lag(s) OVER (PARTITION BY v ORDER BY t) AS d FROM hbsum)
+SELECT v, coalesce(max(t) FILTER (WHERE d > 0), 0)::BIGINT AS ecc_est
+FROM hbchg GROUP BY v
+"""
+
 
 
 def _pagerank_sql() -> str:
@@ -1895,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "eg_avgdist_weighted": _avgdist_weighted_sql(),
         "eg_avgdist_pairs": _avgdist_pairs_sql(),
         "eg_hyperball_nf": _hyperball_sql(),
+        "eg_hyperball_ecc": _hyperball_ecc_sql(),
         "doc_dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS dup_count "
             "FROM documents GROUP BY md5(text)"

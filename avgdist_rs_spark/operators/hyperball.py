@@ -226,10 +226,13 @@ def hyperball(
                     "nf": _estimate_rows(regs, m),
                     "harmonic": np.zeros(v.size),
                     "dist_sum": np.zeros(v.size),
+                    "ecc": np.zeros(v.size, dtype=np.int64),
                 }
             )
 
-    state_schema = "v long, regs binary, nf double, harmonic double, dist_sum double"
+    state_schema = (
+        "v long, regs binary, nf double, harmonic double, dist_sum double, ecc long"
+    )
     state = None
     start_t = 0
     if resume:
@@ -260,7 +263,7 @@ def hyperball(
         the last (possibly incomplete) group is carried forward.
         """
 
-        def reduce_block(v, mat, flag, nf, h, ds, bounds):
+        def reduce_block(v, mat, flag, nf, h, ds, ec, bounds):
             merged = np.maximum.reduceat(mat, bounds, axis=0)
             sidx = np.flatnonzero(flag == 1)  # one per group, in group order
             if len(sidx) != len(bounds):  # keyed-state invariant violated
@@ -271,6 +274,7 @@ def hyperball(
             nnf = nf[sidx].copy()
             nh = h[sidx].copy()
             nds = ds[sidx].copy()
+            nec = ec[sidx].copy()
             chg = (merged != old).any(axis=1)
             if chg.any():
                 est = _estimate_rows(merged[chg], m)
@@ -278,6 +282,9 @@ def hyperball(
                 nh[chg] += inc / t
                 nds[chg] += inc * t
                 nnf[chg] = est
+                # eccentricity estimate: the last radius at which v's ball
+                # sketch still grew (HyperBall's standard ecc lower-bound)
+                nec[chg] = t
             return pd.DataFrame(
                 {
                     "v": v[bounds],
@@ -285,6 +292,7 @@ def hyperball(
                     "nf": nnf,
                     "harmonic": nh,
                     "dist_sum": nds,
+                    "ecc": nec,
                     "changed": chg.astype(np.int64),
                 }
             )
@@ -299,6 +307,7 @@ def hyperball(
             nf = pdf["nf"].to_numpy(dtype=np.float64)
             h = pdf["harmonic"].to_numpy(dtype=np.float64)
             ds = pdf["dist_sum"].to_numpy(dtype=np.float64)
+            ec = pdf["ecc"].to_numpy(dtype=np.int64)
             if carry is not None:
                 v = np.concatenate([carry[0], v])
                 mat = np.vstack([carry[1], mat])
@@ -306,19 +315,23 @@ def hyperball(
                 nf = np.concatenate([carry[3], nf])
                 h = np.concatenate([carry[4], h])
                 ds = np.concatenate([carry[5], ds])
+                ec = np.concatenate([carry[6], ec])
             bounds = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
             if len(bounds) > 1:
                 last = bounds[-1]
                 yield reduce_block(
                     v[:last], mat[:last], flag[:last], nf[:last], h[:last],
-                    ds[:last], bounds[:-1],
+                    ds[:last], ec[:last], bounds[:-1],
                 )
             else:
                 last = bounds[-1]
-            carry = (v[last:], mat[last:], flag[last:], nf[last:], h[last:], ds[last:])
+            carry = (
+                v[last:], mat[last:], flag[last:], nf[last:], h[last:],
+                ds[last:], ec[last:],
+            )
         if carry is not None and carry[0].size:
-            v, mat, flag, nf, h, ds = carry
-            yield reduce_block(v, mat, flag, nf, h, ds, np.array([0]))
+            v, mat, flag, nf, h, ds, ec = carry
+            yield reduce_block(v, mat, flag, nf, h, ds, ec, np.array([0]))
 
     for t in range(start_t + 1, max_supersteps + 1):
         t0 = time.monotonic()
@@ -343,7 +356,8 @@ def hyperball(
                 contrib.count()
             )
         allr = state.select(
-            "v", "regs", "nf", "harmonic", "dist_sum", F.lit(1).alias("is_state")
+            "v", "regs", "nf", "harmonic", "dist_sum", "ecc",
+            F.lit(1).alias("is_state"),
         ).unionAll(
             contrib.select(
                 "v",
@@ -351,6 +365,7 @@ def hyperball(
                 F.lit(0.0).alias("nf"),
                 F.lit(0.0).alias("harmonic"),
                 F.lit(0.0).alias("dist_sum"),
+                F.lit(0).cast("long").alias("ecc"),
                 F.lit(0).alias("is_state"),
             )
         )
@@ -377,4 +392,5 @@ def hyperball(
         F.col("nf").alias("reach_est"),
         F.col("harmonic").alias("harmonic_est"),
         F.col("dist_sum").alias("dist_sum_est"),
+        F.col("ecc").alias("ecc_est"),
     )
