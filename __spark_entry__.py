@@ -230,6 +230,18 @@ def _q_scc(spark, sf):
     return _orig(g, sc, ["v", "component"]).select("v", "component")
 
 
+def _q_link_prediction(spark, sf):
+    """Common-neighbor + Adamic–Adar scores for non-adjacent pairs (the
+    related-conversations / link-prediction primitive)."""
+    from avgdist_rs_spark.operators.degrees import link_prediction_scores
+
+    g = _graph(spark, sf)
+    lp = link_prediction_scores(g, min_common=2)
+    return _orig(g, lp, ["a", "b"]).select(
+        "a", "b", F.col("common").cast("long"), "adamic_adar"
+    )
+
+
 def _q_clustering(spark, sf):
     """Per-vertex local clustering coefficients (triangle machinery + one
     degree aggregate)."""
@@ -841,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_label_propagation": _q_label_propagation,
         "eg_kcore": _q_kcore,
         "eg_scc": _q_scc,
+        "eg_link_prediction": _q_link_prediction,
         "eg_clustering": _q_clustering,
         "eg_graph_summary": _q_graph_summary,
         "eg_avgdist_exact": _q_avgdist_exact,
@@ -1261,6 +1274,30 @@ def _scc_sql() -> str:
         "WITH " + ",\n".join(parts)
         + "\nSELECT v, v AS component FROM eg_verts "
         "WHERE (SELECT ok FROM sccguard) = 1"
+    )
+
+
+def _link_prediction_sql() -> str:
+    """Wedge self-join on the middle vertex, scored, anti-joined vs existing
+    edges — mirrors operators/degrees.link_prediction_scores exactly (ln =
+    natural log both engines; dense-id order == lexicographic orig order, so
+    a < b agrees)."""
+    parts = [
+        _EG,
+        _CA_PARTS[0],  # ca
+        _CA_PARTS[1],  # cdeg
+        "lpinc AS MATERIALIZED (SELECT mid, x, d FROM "
+        "(SELECT a AS mid, b AS x FROM ca UNION ALL SELECT b AS mid, a AS x FROM ca) i "
+        "JOIN cdeg ON cdeg.v = i.mid)",
+        "lpsc AS (SELECT w1.x AS a, w2.x AS b, count(*) AS common, "
+        "round(sum(1.0 / ln(w1.d)), 6) AS adamic_adar "
+        "FROM lpinc w1 JOIN lpinc w2 ON w1.mid = w2.mid AND w1.x < w2.x "
+        "GROUP BY w1.x, w2.x HAVING count(*) >= 2)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT s.a, s.b, s.common::BIGINT AS common, s.adamic_adar FROM lpsc s "
+        "WHERE NOT EXISTS (SELECT 1 FROM ca WHERE ca.a = s.a AND ca.b = s.b)"
     )
 
 
@@ -1827,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
         "eg_pagerank_personalized": _ppr_sql(),
         "eg_kcore": _kcore_sql(),
         "eg_scc": _scc_sql(),
+        "eg_link_prediction": _link_prediction_sql(),
         "eg_clustering": _clustering_sql(),
         "eg_graph_summary": _graph_summary_sql(),
         "eg_label_propagation": _lp_sql(),

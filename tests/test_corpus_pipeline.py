@@ -121,3 +121,30 @@ def test_scc_large_cycle_and_dag(spark):
     assert all(got[v] == 0 for v in range(n))
     assert all(got[v] == v for v in range(n, n + 21))
     g.unpersist()
+
+
+def test_link_prediction_vs_networkx(spark):
+    import pytest
+    nx = pytest.importorskip("networkx")
+    import pandas as pd
+    from avgdist_rs_spark.operators.degrees import link_prediction_scores
+    from avgdist_rs_spark.plans.graph import GraphFrame
+
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (0, 5), (4, 5), (2, 6)]
+    pdf = pd.DataFrame(pairs, columns=["src", "dst"])
+    g = GraphFrame.from_edges(spark.createDataFrame(pdf), num_nodes=7)
+    G = nx.Graph(pairs)
+    got = {
+        (r["a"], r["b"]): (r["common"], r["adamic_adar"])
+        for r in link_prediction_scores(g, min_common=1).collect()
+    }
+    want_aa = {(min(u, v), max(u, v)): s for u, v, s in nx.adamic_adar_index(G)}
+    want_cn = {
+        p: len(list(nx.common_neighbors(G, *p))) for p in want_aa
+    }
+    expected = {p for p in want_aa if want_cn[p] >= 1}
+    assert set(got) == expected
+    for p in expected:
+        assert got[p][0] == want_cn[p]
+        assert got[p][1] == pytest.approx(want_aa[p], abs=1e-6)
+    g.unpersist()
