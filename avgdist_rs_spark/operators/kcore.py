@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.graph import GraphFrame
-from ..streaming.superstep import Checkpointer, SuperstepMetrics
+from ..streaming.superstep import Checkpointer, SuperstepMetrics, aqe_disabled
 
 
 def k_core(
@@ -61,24 +61,25 @@ def k_core(
     )
     n_alive = alive.count()
 
-    converged = n_alive == 0
-    for it in range(1, max_supersteps + 1):
-        if converged:
-            break
-        t0 = time.monotonic()
-        ev = sym.join(alive.select(F.col("v").alias("_esrc")), "_esrc").join(
-            alive.select(F.col("v").alias("_edst")), "_edst"
-        )
-        nxt = (
-            ev.groupBy(F.col("_esrc").alias("v"))
-            .agg(F.count("*").alias("deg"))
-            .where(F.col("deg") >= k)
-        )
-        nxt = ckpt.step(nxt, it, wall_s=time.monotonic() - t0)
-        n_next = nxt.count()
-        met.record(it, n_next, time.monotonic() - t0)
-        converged = n_next == n_alive or n_next == 0
-        alive, n_alive = nxt, n_next
+    with aqe_disabled(spark):
+        converged = n_alive == 0
+        for it in range(1, max_supersteps + 1):
+            if converged:
+                break
+            t0 = time.monotonic()
+            ev = sym.join(alive.select(F.col("v").alias("_esrc")), "_esrc").join(
+                alive.select(F.col("v").alias("_edst")), "_edst"
+            )
+            nxt = (
+                ev.groupBy(F.col("_esrc").alias("v"))
+                .agg(F.count("*").alias("deg"))
+                .where(F.col("deg") >= k)
+            )
+            nxt = ckpt.step(nxt, it, wall_s=time.monotonic() - t0)
+            n_next = nxt.count()
+            met.record(it, n_next, time.monotonic() - t0)
+            converged = n_next == n_alive or n_next == 0
+            alive, n_alive = nxt, n_next
     sym.unpersist()
     if not converged:
         # mirror the SQL oracle's error() guard: a truncated peel is a

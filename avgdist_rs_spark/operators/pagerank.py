@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.graph import GraphFrame
-from ..streaming.superstep import Checkpointer, SuperstepMetrics
+from ..streaming.superstep import Checkpointer, SuperstepMetrics, aqe_disabled
 
 
 def pagerank(
@@ -101,72 +101,74 @@ def pagerank(
         .select("v", F.lit(0.0).alias("c"), tele.alias("_tele"))
         .persist()
     )
-    for it in range(start_iter + 1, iterations + 1):
-        t0 = time.monotonic()
-        # every-vertex presence WITHOUT a second join: zero-contribution base
-        # rows ride the SAME union into the single groupBy exchange, so each
-        # superstep is exactly one shuffle of the n-row rank vector (by src)
-        # plus one aggregation shuffle (by dst) — no vertices ⋈ contrib stage
-        contrib = (
-            ranks.join(norm_edges, ranks.v == F.col("_esrc"))
-            .select(
-                F.col("_edst").alias("v"),
-                (F.col("rank") * F.col("_w")).alias("c"),
-                F.lit(0.0).alias("_tele"),
+    # fixed-shape fixpoint: run without AQE (see aqe_disabled)
+    with aqe_disabled(spark):
+        for it in range(start_iter + 1, iterations + 1):
+            t0 = time.monotonic()
+            # every-vertex presence WITHOUT a second join: zero-contribution base
+            # rows ride the SAME union into the single groupBy exchange, so each
+            # superstep is exactly one shuffle of the n-row rank vector (by src)
+            # plus one aggregation shuffle (by dst) — no vertices ⋈ contrib stage
+            contrib = (
+                ranks.join(norm_edges, ranks.v == F.col("_esrc"))
+                .select(
+                    F.col("_edst").alias("v"),
+                    (F.col("rank") * F.col("_w")).alias("c"),
+                    F.lit(0.0).alias("_tele"),
+                )
+                .unionAll(base_rows)
+                .groupBy("v")
+                .agg(F.sum("c").alias("c"), F.max("_tele").alias("_t"))
+                .persist()
             )
-            .unionAll(base_rows)
-            .groupBy("v")
-            .agg(F.sum("c").alias("c"), F.max("_tele").alias("_t"))
-            .persist()
-        )
-        # dangling mass = 1 − Σ contrib: every non-dangling vertex distributes
-        # its rank fully (Σ_v contrib(v) = Σ_{u: outdeg>0} rank(u)) and Σ rank
-        # is 1 by construction (the base rows add exactly 0) — saves the
-        # anti-join + extra ranks scan per superstep; the SQL oracle mirrors
-        # this expression exactly. The mass stays IN the plan as a broadcast
-        # 1-row aggregate — no driver collect per superstep: the checkpoint
-        # materialization is the only job each iteration (the persisted
-        # contrib feeds both branches)
-        if has_dangling:
-            dmass = contrib.agg(
-                (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("_dm")
-            )
-            if seeds is None:
-                base = (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+            # dangling mass = 1 − Σ contrib: every non-dangling vertex distributes
+            # its rank fully (Σ_v contrib(v) = Σ_{u: outdeg>0} rank(u)) and Σ rank
+            # is 1 by construction (the base rows add exactly 0) — saves the
+            # anti-join + extra ranks scan per superstep; the SQL oracle mirrors
+            # this expression exactly. The mass stays IN the plan as a broadcast
+            # 1-row aggregate — no driver collect per superstep: the checkpoint
+            # materialization is the only job each iteration (the persisted
+            # contrib feeds both branches)
+            if has_dangling:
+                dmass = contrib.agg(
+                    (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("_dm")
+                )
+                if seeds is None:
+                    base = (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+                    )
+                else:
+                    base = (
+                        F.lit(1.0 - damping) * F.col("_t")
+                        + F.lit(damping) * F.col("_dm") * F.col("_t")
+                    )
+                new_ranks = contrib.crossJoin(F.broadcast(dmass)).select(
+                    "v", (base + F.lit(damping) * F.col("c")).alias("rank")
                 )
             else:
-                base = (
-                    F.lit(1.0 - damping) * F.col("_t")
-                    + F.lit(damping) * F.col("_dm") * F.col("_t")
+                if seeds is None:
+                    base = F.lit((1.0 - damping) / n)
+                else:
+                    base = F.lit(1.0 - damping) * F.col("_t")
+                new_ranks = contrib.select(
+                    "v", (base + F.lit(damping) * F.col("c")).alias("rank")
                 )
-            new_ranks = contrib.crossJoin(F.broadcast(dmass)).select(
-                "v", (base + F.lit(damping) * F.col("c")).alias("rank")
-            )
-        else:
-            if seeds is None:
-                base = F.lit((1.0 - damping) / n)
+            if tol is not None:
+                delta = (
+                    new_ranks.alias("a")
+                    .join(ranks.alias("b"), "v")
+                    .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                    .collect()[0][0]
+                )
             else:
-                base = F.lit(1.0 - damping) * F.col("_t")
-            new_ranks = contrib.select(
-                "v", (base + F.lit(damping) * F.col("c")).alias("rank")
-            )
-        if tol is not None:
-            delta = (
-                new_ranks.alias("a")
-                .join(ranks.alias("b"), "v")
-                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
-                .collect()[0][0]
-            )
-        else:
-            delta = None
-        new_ranks = ckpt.step(new_ranks, it, rows=n, wall_s=time.monotonic() - t0)
-        contrib.unpersist()
-        ranks = new_ranks
-        met.record(it, n, time.monotonic() - t0, l1_delta=delta)
-        if tol is not None and delta is not None and delta < tol:
-            break
+                delta = None
+            new_ranks = ckpt.step(new_ranks, it, rows=n, wall_s=time.monotonic() - t0)
+            contrib.unpersist()
+            ranks = new_ranks
+            met.record(it, n, time.monotonic() - t0, l1_delta=delta)
+            if tol is not None and delta is not None and delta < tol:
+                break
     norm_edges.unpersist()
     base_rows.unpersist()
     return ranks

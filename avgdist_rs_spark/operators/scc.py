@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.graph import GraphFrame
-from ..streaming.superstep import Checkpointer, SuperstepMetrics
+from ..streaming.superstep import Checkpointer, SuperstepMetrics, aqe_disabled
 
 
 def strongly_connected_components(
@@ -67,119 +67,120 @@ def strongly_connected_components(
         met.record(step, rows, time.monotonic() - t0)
         return step
 
-    for _round in range(1, max_rounds + 1):
-        if n_alive == 0:
-            break
-        # ---- phase 1: trim fixpoint (singleton SCCs) -----------------------
-        while n_alive > 0:
-            t0 = time.monotonic()
-            ea = edges.join(alive.select(F.col("v").alias("_s")), "_s").join(
-                alive.select(F.col("v").alias("_d")), "_d"
-            ).persist()
-            keep = (
-                alive.join(ea.select(F.col("_s").alias("v")).distinct(), "v", "semi")
-                .join(ea.select(F.col("_d").alias("v")).distinct(), "v", "semi")
+    with aqe_disabled(spark):
+        for _round in range(1, max_rounds + 1):
+            if n_alive == 0:
+                break
+            # ---- phase 1: trim fixpoint (singleton SCCs) -----------------------
+            while n_alive > 0:
+                t0 = time.monotonic()
+                ea = edges.join(alive.select(F.col("v").alias("_s")), "_s").join(
+                    alive.select(F.col("v").alias("_d")), "_d"
+                ).persist()
+                keep = (
+                    alive.join(ea.select(F.col("_s").alias("v")).distinct(), "v", "semi")
+                    .join(ea.select(F.col("_d").alias("v")).distinct(), "v", "semi")
+                )
+                keep = keep.localCheckpoint(eager=True)
+                n_keep = keep.count()
+                ea.unpersist()
+                if n_keep == n_alive:
+                    _record(0, t0)
+                    break
+                # dead derives from two checkpointed frames — lineage stays
+                # shallow without materializing the growing union every step
+                dead = alive.join(keep, "v", "anti").select(
+                    "v", F.col("v").alias("component")
+                )
+                assigned = dead if assigned is None else assigned.unionAll(dead)
+                alive, n_alive = keep, n_keep
+                _record(n_alive, t0)
+            if n_alive == 0:
+                break
+            # ---- phase 2: one coloring round on the cyclic remainder -----------
+            ea = (
+                edges.join(alive.select(F.col("v").alias("_s")), "_s")
+                .join(alive.select(F.col("v").alias("_d")), "_d")
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            keep = keep.localCheckpoint(eager=True)
-            n_keep = keep.count()
+            ea.count()
+            color = alive.select("v", F.col("v").alias("color")).localCheckpoint(eager=True)
+            while True:
+                t0 = time.monotonic()
+                # fused max-propagation (same shape as components.connected_components)
+                contrib = color.join(ea, color.v == F.col("_s")).select(
+                    F.col("_d").alias("v"),
+                    F.col("color").alias("cand"),
+                    F.lit(None).cast("long").alias("_prev"),
+                )
+                state = color.select(
+                    "v", F.col("color").alias("cand"), F.col("color").alias("_prev")
+                )
+                stepped = (
+                    contrib.unionAll(state)
+                    .groupBy("v")
+                    .agg(F.max("cand").alias("color"), F.max("_prev").alias("_old"))
+                )
+                stepped = ckpt.step(stepped, step + 1)
+                changed = int(
+                    stepped.agg(
+                        F.sum((F.col("color") != F.col("_old")).cast("long"))
+                    ).collect()[0][0]
+                    or 0
+                )
+                color = stepped.drop("_old")
+                _record(changed, t0)
+                if changed == 0:
+                    break
+                if step >= max_supersteps:
+                    # a truncated color fixpoint would silently split SCCs —
+                    # fail loudly like every other fixpoint here
+                    raise RuntimeError(
+                        f"scc: color propagation not converged within "
+                        f"max_supersteps={max_supersteps}; raise the budget"
+                    )
+            color = color.persist(StorageLevel.MEMORY_AND_DISK)
+            color.count()
+            # backward frontier from each pivot within its color class, in parallel
+            mem = color.where(F.col("v") == F.col("color")).select("v", "color")
+            mem = mem.localCheckpoint(eager=True)
+            frontier = mem
+            while True:
+                t0 = time.monotonic()
+                preds = (
+                    frontier.join(ea, frontier.v == F.col("_d"))
+                    .select(F.col("_s").alias("v"), "color")
+                    .distinct()
+                    .join(
+                        color.select(F.col("v").alias("v"), F.col("color").alias("_vc")),
+                        "v",
+                    )
+                    .where(F.col("color") == F.col("_vc"))
+                    .select("v", "color")
+                )
+                new = preds.join(mem, ["v", "color"], "anti").localCheckpoint(eager=True)
+                n_new = new.count()
+                _record(n_new, t0)
+                if n_new == 0:
+                    break
+                if step >= max_supersteps:
+                    raise RuntimeError(
+                        f"scc: backward sweep not converged within "
+                        f"max_supersteps={max_supersteps}; raise the budget"
+                    )
+                mem = mem.unionAll(new)
+                mem = ckpt.step(mem, step)
+                frontier = new
+            # label each found SCC with its min member; remove from alive
+            labels = mem.groupBy("color").agg(F.min("v").alias("component"))
+            found = (
+                mem.join(labels, "color").select("v", "component").localCheckpoint(eager=True)
+            )
+            assigned = found if assigned is None else assigned.unionAll(found)
+            alive = alive.join(mem.select("v"), "v", "anti").localCheckpoint(eager=True)
+            n_alive = alive.count()
+            color.unpersist()
             ea.unpersist()
-            if n_keep == n_alive:
-                _record(0, t0)
-                break
-            # dead derives from two checkpointed frames — lineage stays
-            # shallow without materializing the growing union every step
-            dead = alive.join(keep, "v", "anti").select(
-                "v", F.col("v").alias("component")
-            )
-            assigned = dead if assigned is None else assigned.unionAll(dead)
-            alive, n_alive = keep, n_keep
-            _record(n_alive, t0)
-        if n_alive == 0:
-            break
-        # ---- phase 2: one coloring round on the cyclic remainder -----------
-        ea = (
-            edges.join(alive.select(F.col("v").alias("_s")), "_s")
-            .join(alive.select(F.col("v").alias("_d")), "_d")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        ea.count()
-        color = alive.select("v", F.col("v").alias("color")).localCheckpoint(eager=True)
-        while True:
-            t0 = time.monotonic()
-            # fused max-propagation (same shape as components.connected_components)
-            contrib = color.join(ea, color.v == F.col("_s")).select(
-                F.col("_d").alias("v"),
-                F.col("color").alias("cand"),
-                F.lit(None).cast("long").alias("_prev"),
-            )
-            state = color.select(
-                "v", F.col("color").alias("cand"), F.col("color").alias("_prev")
-            )
-            stepped = (
-                contrib.unionAll(state)
-                .groupBy("v")
-                .agg(F.max("cand").alias("color"), F.max("_prev").alias("_old"))
-            )
-            stepped = ckpt.step(stepped, step + 1)
-            changed = int(
-                stepped.agg(
-                    F.sum((F.col("color") != F.col("_old")).cast("long"))
-                ).collect()[0][0]
-                or 0
-            )
-            color = stepped.drop("_old")
-            _record(changed, t0)
-            if changed == 0:
-                break
-            if step >= max_supersteps:
-                # a truncated color fixpoint would silently split SCCs —
-                # fail loudly like every other fixpoint here
-                raise RuntimeError(
-                    f"scc: color propagation not converged within "
-                    f"max_supersteps={max_supersteps}; raise the budget"
-                )
-        color = color.persist(StorageLevel.MEMORY_AND_DISK)
-        color.count()
-        # backward frontier from each pivot within its color class, in parallel
-        mem = color.where(F.col("v") == F.col("color")).select("v", "color")
-        mem = mem.localCheckpoint(eager=True)
-        frontier = mem
-        while True:
-            t0 = time.monotonic()
-            preds = (
-                frontier.join(ea, frontier.v == F.col("_d"))
-                .select(F.col("_s").alias("v"), "color")
-                .distinct()
-                .join(
-                    color.select(F.col("v").alias("v"), F.col("color").alias("_vc")),
-                    "v",
-                )
-                .where(F.col("color") == F.col("_vc"))
-                .select("v", "color")
-            )
-            new = preds.join(mem, ["v", "color"], "anti").localCheckpoint(eager=True)
-            n_new = new.count()
-            _record(n_new, t0)
-            if n_new == 0:
-                break
-            if step >= max_supersteps:
-                raise RuntimeError(
-                    f"scc: backward sweep not converged within "
-                    f"max_supersteps={max_supersteps}; raise the budget"
-                )
-            mem = mem.unionAll(new)
-            mem = ckpt.step(mem, step)
-            frontier = new
-        # label each found SCC with its min member; remove from alive
-        labels = mem.groupBy("color").agg(F.min("v").alias("component"))
-        found = (
-            mem.join(labels, "color").select("v", "component").localCheckpoint(eager=True)
-        )
-        assigned = found if assigned is None else assigned.unionAll(found)
-        alive = alive.join(mem.select("v"), "v", "anti").localCheckpoint(eager=True)
-        n_alive = alive.count()
-        color.unpersist()
-        ea.unpersist()
     if n_alive > 0:
         edges.unpersist()
         raise RuntimeError(
