@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.graph import GraphFrame
-from ..streaming.superstep import Checkpointer, SuperstepMetrics, aqe_disabled
+from ..streaming.superstep import Checkpointer, SuperstepMetrics
 
 
 #: supersteps of plain hash-min before "auto" shortcut enables pointer jumping
@@ -77,57 +77,60 @@ def connected_components(
         eager=True
     )
 
-    with aqe_disabled(spark):
-        for it in range(1, max_supersteps + 1):
-            t0 = time.monotonic()
-            # one fused exchange per superstep: the state row (carrying the old
-            # label for change detection) rides the SAME union as the neighbor
-            # contributions into a single groupBy — min(cand) over {own label} ∪
-            # {neighbor labels} IS least(own, neighbor-min), and max(_old) picks
-            # the state row's old label (contributions carry NULL). Replaces the
-            # former nbr_min groupBy + labels left-join (two stages) with one.
-            contrib = labels.join(sym, labels.v == F.col("_esrc")).select(
-                F.col("_edst").alias("v"),
-                F.col("component").alias("cand"),
-                F.lit(None).cast("long").alias("_prev"),
-            )
-            state = labels.select(
-                "v", F.col("component").alias("cand"), F.col("component").alias("_prev")
+    # NOTE: this loop KEEPS AQE enabled — the pointer-jump self-join
+    # (labels ⋈ labels on the label key) measurably benefits from adaptive
+    # broadcast/coalesce decisions (10k-chain: ~6 s with AQE vs ~15 s without),
+    # unlike the pure fused-aggregate loops (pagerank/lp/kcore/scc).
+    for it in range(1, max_supersteps + 1):
+        t0 = time.monotonic()
+        # one fused exchange per superstep: the state row (carrying the old
+        # label for change detection) rides the SAME union as the neighbor
+        # contributions into a single groupBy — min(cand) over {own label} ∪
+        # {neighbor labels} IS least(own, neighbor-min), and max(_old) picks
+        # the state row's old label (contributions carry NULL). Replaces the
+        # former nbr_min groupBy + labels left-join (two stages) with one.
+        contrib = labels.join(sym, labels.v == F.col("_esrc")).select(
+            F.col("_edst").alias("v"),
+            F.col("component").alias("cand"),
+            F.lit(None).cast("long").alias("_prev"),
+        )
+        state = labels.select(
+            "v", F.col("component").alias("cand"), F.col("component").alias("_prev")
+        )
+        stepped = (
+            contrib.unionAll(state)
+            .groupBy("v")
+            .agg(F.min("cand").alias("component"), F.max("_prev").alias("_old"))
+            .select("v", "_old", "component")
+        )
+        jump = shortcut is True or (shortcut == "auto" and it > AUTO_SHORTCUT_AFTER)
+        if jump:
+            # pointer jump: component ← label(component). The label table is
+            # the (small) per-vertex state, self-joined on the label key.
+            parent = stepped.select(
+                F.col("v").alias("_pv"), F.col("component").alias("_pc")
             )
             stepped = (
-                contrib.unionAll(state)
-                .groupBy("v")
-                .agg(F.min("cand").alias("component"), F.max("_prev").alias("_old"))
-                .select("v", "_old", "component")
-            )
-            jump = shortcut is True or (shortcut == "auto" and it > AUTO_SHORTCUT_AFTER)
-            if jump:
-                # pointer jump: component ← label(component). The label table is
-                # the (small) per-vertex state, self-joined on the label key.
-                parent = stepped.select(
-                    F.col("v").alias("_pv"), F.col("component").alias("_pc")
+                stepped.join(parent, stepped.component == F.col("_pv"), "left")
+                .select(
+                    "v",
+                    "_old",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
+                    ).alias("component"),
                 )
-                stepped = (
-                    stepped.join(parent, stepped.component == F.col("_pv"), "left")
-                    .select(
-                        "v",
-                        "_old",
-                        F.least(
-                            F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
-                        ).alias("component"),
-                    )
-                )
-            stepped = ckpt.step(stepped, it, wall_s=time.monotonic() - t0)
-            changed = int(
-                stepped.agg(
-                    F.sum((F.col("component") != F.col("_old")).cast("long")).alias("n")
-                ).collect()[0]["n"]
-                or 0
             )
-            met.record(it, changed, time.monotonic() - t0)
-            labels = stepped.drop("_old")
-            if changed == 0:
-                break
+        stepped = ckpt.step(stepped, it, wall_s=time.monotonic() - t0)
+        changed = int(
+            stepped.agg(
+                F.sum((F.col("component") != F.col("_old")).cast("long")).alias("n")
+            ).collect()[0]["n"]
+            or 0
+        )
+        met.record(it, changed, time.monotonic() - t0)
+        labels = stepped.drop("_old")
+        if changed == 0:
+            break
     sym.unpersist()
     return labels
 
