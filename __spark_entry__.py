@@ -230,6 +230,16 @@ def _q_scc(spark, sf):
     return _orig(g, sc, ["v", "component"]).select("v", "component")
 
 
+def _q_betweenness(spark, sf):
+    """Exact directed Brandes betweenness for every vertex (seed-parallel
+    over broadcast CSR; one dependency n-vector per task, one groupBy)."""
+    from avgdist_rs_spark.operators.betweenness import betweenness
+
+    g = _graph(spark, sf)
+    bt = betweenness(g)
+    return _orig(g, bt, ["v"]).select("v", "bc")
+
+
 def _q_link_prediction(spark, sf):
     """Common-neighbor + Adamic–Adar scores for non-adjacent pairs (the
     related-conversations / link-prediction primitive)."""
@@ -853,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_label_propagation": _q_label_propagation,
         "eg_kcore": _q_kcore,
         "eg_scc": _q_scc,
+        "eg_betweenness": _q_betweenness,
         "eg_link_prediction": _q_link_prediction,
         "eg_clustering": _q_clustering,
         "eg_graph_summary": _q_graph_summary,
@@ -1274,6 +1285,46 @@ def _scc_sql() -> str:
         "WITH " + ",\n".join(parts)
         + "\nSELECT v, v AS component FROM eg_verts "
         "WHERE (SELECT ok FROM sccguard) = 1"
+    )
+
+
+def _betweenness_sql() -> str:
+    """Exact betweenness via the pair formula bc(v) = Σ σ_sv·σ_vt/σ_st over
+    s,t pairs whose shortest path routes through v (d_sv + d_vt = d_st).
+    Shortest-path COUNTS σ come from a level-by-level DP over the mind
+    closure (sp_d = exactly-distance-d pairs with multiplicities; extending a
+    shortest prefix by an edge is shortest iff the target's true distance is
+    d) — rides mind's truncation error() guard."""
+    parts = [
+        _EG,
+        _NN,
+        _MIND.strip().rstrip(","),
+        "sp0 AS MATERIALIZED (SELECT v AS s, v AS w, 1.0 AS c FROM eg_verts)",
+    ]
+    lvl_selects = ["SELECT s, w, 0 AS d, c FROM sp0"]
+    for i in range(1, _DIST_MAX + 1):
+        parts.append(
+            f"sp{i} AS MATERIALIZED (SELECT sg.s, e.dst AS w, sum(sg.c) AS c "
+            f"FROM sp{i - 1} sg JOIN eg_edges e ON e.src = sg.w "
+            f"JOIN mind m ON m.v = sg.s AND m.w = e.dst AND m.d = {i} "
+            f"GROUP BY sg.s, e.dst)"
+        )
+        lvl_selects.append(f"SELECT s, w, {i} AS d, c FROM sp{i}")
+    parts.append("spc AS MATERIALIZED (" + " UNION ALL ".join(lvl_selects) + ")")
+    parts.append(
+        "btr AS (SELECT a.s, b.w AS t, a.w AS v, a.c * b.c AS num, "
+        "a.d + b.d AS dvia FROM spc a JOIN spc b ON a.w = b.s "
+        "WHERE a.d > 0 AND b.d > 0)"
+    )
+    parts.append(
+        "bet AS (SELECT r.v, sum(r.num / st.c) AS bc FROM btr r "
+        "JOIN spc st ON st.s = r.s AND st.w = r.t AND st.d = r.dvia "
+        "GROUP BY r.v)"
+    )
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + "\nSELECT t.v, round(coalesce(b.bc, 0.0), 6) AS bc "
+        "FROM eg_verts t LEFT JOIN bet b ON b.v = t.v"
     )
 
 
@@ -1864,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
         "eg_pagerank_personalized": _ppr_sql(),
         "eg_kcore": _kcore_sql(),
         "eg_scc": _scc_sql(),
+        "eg_betweenness": _betweenness_sql(),
         "eg_link_prediction": _link_prediction_sql(),
         "eg_clustering": _clustering_sql(),
         "eg_graph_summary": _graph_summary_sql(),

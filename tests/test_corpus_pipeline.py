@@ -148,3 +148,28 @@ def test_link_prediction_vs_networkx(spark):
         assert got[p][0] == want_cn[p]
         assert got[p][1] == pytest.approx(want_aa[p], abs=1e-6)
     g.unpersist()
+
+
+def test_betweenness_vs_networkx(spark):
+    import pytest
+    nx = pytest.importorskip("networkx")
+    import pandas as pd
+    from avgdist_rs_spark.operators.betweenness import betweenness
+    from avgdist_rs_spark.plans.graph import GraphFrame
+
+    # directed: chains, a diamond (sigma > 1), a cycle, a hub
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (3, 5), (5, 6), (6, 3),
+             (1, 7), (7, 8), (2, 8), (8, 9)]
+    pdf = pd.DataFrame(pairs, columns=["src", "dst"])
+    g = GraphFrame.from_edges(spark.createDataFrame(pdf), num_nodes=10)
+    G = nx.DiGraph(pairs)
+    G.add_nodes_from(range(10))
+    want = nx.betweenness_centrality(G, normalized=False)
+    got = {r["v"]: r["bc"] for r in betweenness(g).collect()}
+    for v in range(10):
+        assert got[v] == pytest.approx(want[v], abs=1e-6), f"v={v}"
+    # sampled with ALL vertices as explicit seeds == exact (scale = 1)
+    import numpy as np
+    got_s = {r["v"]: r["bc"] for r in betweenness(g, seeds=np.arange(10)).collect()}
+    assert got_s == got
+    g.unpersist()
