@@ -115,6 +115,11 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed("scc", lambda: strongly_connected_components(g).count())
 
+    from avgdist_rs_spark.operators.betweenness import betweenness
+
+    bt_seeds = np.random.default_rng(11).integers(0, g.num_nodes, size=2048)
+    timed("betweenness_2048", lambda: betweenness(g, seeds=bt_seeds).count())
+
     # sketch path: per-vertex neighbourhood function for ALL vertices at once
     # (the centrality strategy that replaces all-sources BFS past ~10^7 nodes)
     from avgdist_rs_spark.operators.hyperball import hyperball
