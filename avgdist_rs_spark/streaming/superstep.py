@@ -146,10 +146,32 @@ class Checkpointer:
         return self.spark.read.parquet(last["path"]), int(last["superstep"])
 
 
+#: per-session stack of saved AQE values — makes nested scopes restore in LIFO
+#: order (an inner aqe_enabled inside an outer aqe_disabled puts the outer
+#: "false" back on exit, and the outer scope then restores the session value).
+#: Concurrent loops on ONE session remain session-global — documented limit.
+_AQE_STACK: dict[int, list[str]] = {}
+
+
 @contextmanager
+def _aqe_scope(spark: SparkSession, value: str):
+    key = "spark.sql.adaptive.enabled"
+    stack = _AQE_STACK.setdefault(id(spark), [])
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = "true"
+    stack.append(old)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, stack.pop())
+
+
 def aqe_disabled(spark: SparkSession):
     """Disable adaptive query execution for a superstep loop, restoring the
-    previous setting on exit.
+    entry setting on exit (re-entrant: nested scopes restore LIFO).
 
     Iterative fixpoints here are fixed-shape plans over small keyed state —
     AQE has nothing to re-plan but still pays per-superstep query-stage
@@ -158,13 +180,12 @@ def aqe_disabled(spark: SparkSession):
     Pregel-style loops. NOTE: session-global while held — queries launched
     concurrently on the same session during the loop also run without AQE.
     """
-    key = "spark.sql.adaptive.enabled"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = "true"
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    return _aqe_scope(spark, "false")
+
+
+def aqe_enabled(spark: SparkSession):
+    """Force-enable AQE for a scope (re-entrant, LIFO restore) — used by
+    pointer-jump supersteps whose label self-join measurably benefits from
+    adaptive broadcast/coalesce (see ``components.connected_components``:
+    10k-chain ≈ 6 s with AQE vs ≈ 15 s without)."""
+    return _aqe_scope(spark, "true")

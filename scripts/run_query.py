@@ -34,7 +34,7 @@ def main() -> None:
 
     import __spark_entry__ as em
 
-    qs = em.queries()
+    qs = {**em.queries(), **em.extra_queries()}
     if args.list:
         for name in qs:
             print(name)
