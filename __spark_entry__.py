@@ -1428,7 +1428,9 @@ def _graph_summary_sql() -> str:
         "(SELECT mo FROM mo)::BIGINT AS max_out_degree, "
         "(SELECT mi FROM mi)::BIGINT AS max_in_degree, "
         "(SELECT t FROM tc)::BIGINT AS triangles, "
-        "round(3.0 * (SELECT t FROM tc) / (SELECT w FROM wdg), 6) AS transitivity, "
+        "CASE WHEN (SELECT w FROM wdg) > 0 THEN "
+        "round(3.0 * (SELECT t FROM tc) / (SELECT w FROM wdg), 6) "
+        "ELSE NULL END AS transitivity, "
         "round((SELECT r FROM ast), 6) AS assortativity"
     )
 

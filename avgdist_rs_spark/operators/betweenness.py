@@ -7,18 +7,34 @@ routes through. Public algorithm (Brandes 2001): one BFS per source computes
 shortest-path counts σ level by level, then a reverse sweep accumulates
 dependencies δ(v) = Σ_{w: succ} σ_v/σ_w · (1 + δ(w)).
 
-Spark shape — the same seed-parallel strategy as ``bfs_csr``: sources are
-distributed one-task-per-core over the broadcast CSR, each task runs
-level-vectorized numpy Brandes per seed (np.add.at over the tree edges —
-never per-row Python) and emits ONE partial n-vector of dependency sums; the
-driver-visible result is a single groupBy("v").sum. ``seeds`` samples sources
-for the standard O(k·m) approximation (Brandes–Pich); ``None`` = exact.
-Gated by the same broadcast cap as ``bfs_csr`` (the beyond-memory strategy
-would shard the CSR like ``bfs_frontier(shards=True)``).
+Spark shape — two physical strategies behind one API (``strategy="auto"``):
+
+- **broadcast** (≤ ``DEFAULT_CSR_MAX_EDGES``): the same seed-parallel
+  strategy as ``bfs_csr`` — sources are distributed one-task-per-core over
+  the broadcast CSR, each task runs level-vectorized numpy Brandes per seed
+  (np.add.at over the tree edges — never per-row Python) and emits ONE
+  partial n-vector of dependency sums; the driver-visible result is a single
+  groupBy("v").sum.
+- **shards** (past the cap — the reference's 2.16e9-edge payment graph and
+  the 10^12-turn north star, where the broadcast CSR cannot exist): all
+  seeds advance in LOCKSTEP through DataFrame supersteps against the
+  distributed CSR shard table (``GraphFrame.csr_shards`` — the adjacency
+  never visits the driver, frontier rows hash to the shard buckets they
+  touch). The forward phase accumulates σ level-by-level with one co-grouped
+  gather + anti-join + aggregate per depth; the reverse dependency sweep
+  RE-GATHERS each level's tree edges from the same shards (no per-seed DAG
+  is ever stored — state is exactly the (seed, v, dist, σ) visited table),
+  folding δ down one level per superstep. 2·diameter supersteps total for
+  the whole seed batch, independent of seed count.
+
+``seeds`` samples sources for the standard O(k·m) approximation
+(Brandes–Pich); ``None`` = exact. Both strategies produce identical scores
+(tested vertex-for-vertex vs networkx and vs each other).
 """
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.graph import GraphFrame, _num_partitions_for
+from ..streaming.superstep import Checkpointer, SuperstepMetrics, aqe_disabled
 from .bfs import DEFAULT_CSR_MAX_EDGES, _gather
 
 
@@ -74,20 +91,203 @@ def _brandes_seed(
     acc += delta
 
 
+def _shard_edge_gather(graph: GraphFrame, transposed: bool):
+    """expand(frontier(seed, v, sigma)) → (seed, u, sigma_u, w): every alive
+    out-edge of the frontier, σ riding along — the Brandes variant of
+    ``bfs._shard_gather`` (which drops the edge source). Same physics: shard
+    rows moved once at build, only the frontier shuffles per superstep, and
+    only touched buckets transit the Python worker."""
+    shards = graph.csr_shards(transposed=transposed)
+    bsz = graph.shard_width(transposed=transposed)
+    n = graph.num_nodes
+    tdt = np.int32 if n < 2**31 else np.int64
+
+    def gather(key, fdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "seed": pd.Series(dtype="int64"),
+                "u": pd.Series(dtype="int64"),
+                "sigma_u": pd.Series(dtype="float64"),
+                "w": pd.Series(dtype="int64"),
+            }
+        )
+        if fdf.empty or sdf.empty:
+            return empty
+        offsets = np.frombuffer(sdf["offsets"].iloc[0], dtype=np.int64)
+        targets = np.frombuffer(sdf["targets"].iloc[0], dtype=tdt)
+        vlo = int(sdf["vlo"].iloc[0])
+        v = fdf["v"].to_numpy(dtype=np.int64) - vlo
+        starts = offsets[v]
+        counts = offsets[v + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        idx = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        idx += np.arange(total, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "seed": np.repeat(fdf["seed"].to_numpy(dtype=np.int64), counts),
+                "u": np.repeat(fdf["v"].to_numpy(dtype=np.int64), counts),
+                "sigma_u": np.repeat(fdf["sigma"].to_numpy(dtype=np.float64), counts),
+                "w": targets[idx].astype(np.int64),
+            }
+        )
+
+    def expand(frontier: DataFrame) -> DataFrame:
+        fb = frontier.withColumn("bucket", F.floor(F.col("v") / bsz).cast("long"))
+        touched = fb.select("bucket").distinct()
+        sh = shards.join(F.broadcast(touched), "bucket", "left_semi")
+        return (
+            fb.groupBy("bucket")
+            .cogroup(sh.groupBy("bucket"))
+            .applyInPandas(gather, schema="seed long, u long, sigma_u double, w long")
+        )
+
+    return expand
+
+
+def _betweenness_shards(
+    graph: GraphFrame,
+    seeds_df: DataFrame,
+    scale: float,
+    transposed: bool,
+    max_supersteps: int,
+    metrics: SuperstepMetrics | None,
+) -> DataFrame:
+    """Lockstep sharded Brandes (module docstring): forward σ-BFS supersteps,
+    then a per-level reverse δ sweep re-gathering tree edges from the shards."""
+    spark = graph.spark
+    met = metrics if metrics is not None else SuperstepMetrics(name="betweenness")
+    ckpt = Checkpointer(spark, name="betweenness", every=4)
+    expand = _shard_edge_gather(graph, transposed)
+
+    frontier = seeds_df.select(
+        "seed", F.col("seed").alias("v"), F.lit(1.0).alias("sigma")
+    )
+    visited = frontier.withColumn("dist", F.lit(0).cast("int")).localCheckpoint(
+        eager=True
+    )
+    depth = 0
+    with aqe_disabled(spark):
+        # ---- forward: σ accumulates level by level ------------------------
+        while True:
+            t0 = time.monotonic()
+            edges = expand(frontier)
+            newf = (
+                edges.join(
+                    visited.select("seed", F.col("v").alias("w")), ["seed", "w"], "anti"
+                )
+                .groupBy("seed", "w")
+                .agg(F.sum("sigma_u").alias("sigma"))
+                .select(
+                    "seed",
+                    F.col("w").alias("v"),
+                    "sigma",
+                    F.lit(depth + 1).cast("int").alias("dist"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_new = newf.count()
+            met.record(depth + 1, n_new, time.monotonic() - t0, phase="fwd")
+            if n_new == 0:
+                break
+            depth += 1
+            if depth > max_supersteps:
+                raise RuntimeError(
+                    f"betweenness: forward BFS past max_supersteps={max_supersteps}"
+                )
+            visited = ckpt.step(visited.unionAll(newf), depth)
+            frontier = newf.select("seed", "v", "sigma")
+        # ---- reverse: δ folds down one level per superstep ---------------
+        parts: list[DataFrame] = []
+        delta_above: DataFrame | None = None  # (seed, v, delta) at level d+1
+        for lvl in range(depth - 1, -1, -1):
+            t0 = time.monotonic()
+            lev = visited.where(F.col("dist") == lvl).select("seed", "v", "sigma")
+            edges = expand(lev)  # (seed, u, sigma_u, w)
+            nxt = visited.where(F.col("dist") == lvl + 1).select(
+                "seed", F.col("v").alias("w"), F.col("sigma").alias("sigma_w")
+            )
+            tree = edges.join(nxt, ["seed", "w"])  # shortest-path tree edges only
+            if delta_above is not None:
+                tree = tree.join(
+                    delta_above.select(
+                        "seed", F.col("v").alias("w"), F.col("delta").alias("delta_w")
+                    ),
+                    ["seed", "w"],
+                    "left",
+                )
+            else:
+                tree = tree.withColumn("delta_w", F.lit(None).cast("double"))
+            dcur = (
+                tree.groupBy("seed", "u")
+                .agg(
+                    F.sum(
+                        F.col("sigma_u")
+                        / F.col("sigma_w")
+                        * (F.lit(1.0) + F.coalesce(F.col("delta_w"), F.lit(0.0)))
+                    ).alias("delta")
+                )
+                .select("seed", F.col("u").alias("v"), "delta")
+                .localCheckpoint(eager=True)
+            )
+            met.record(2 * depth - lvl, dcur.count(), time.monotonic() - t0,
+                       phase="rev")
+            parts.append(dcur.where(F.col("v") != F.col("seed")))
+            delta_above = dcur
+    if not parts:
+        partials = spark.createDataFrame([], "v long, part double")
+    else:
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionAll(p)
+        partials = allp.select("v", F.col("delta").alias("part"))
+    return (
+        graph.vertices()
+        .join(partials.groupBy("v").agg(F.sum("part").alias("s")), "v", "left")
+        .select(
+            "v",
+            F.round(F.coalesce(F.col("s"), F.lit(0.0)) * F.lit(scale), 6).alias("bc"),
+        )
+    )
+
+
 def betweenness(
     graph: GraphFrame,
     seeds: np.ndarray | None = None,
     transposed: bool = False,
+    strategy: str = "auto",
+    csr_max_edges: int = DEFAULT_CSR_MAX_EDGES,
+    max_supersteps: int = 10_000,
+    metrics: SuperstepMetrics | None = None,
 ) -> DataFrame:
     """(v, bc) — directed, unnormalized betweenness. ``seeds=None`` → exact
     (every vertex a source); an array of sources → the sampled approximation
-    scaled by n/k (unbiased estimator of the exact score)."""
+    scaled by n/k (unbiased estimator of the exact score). ``strategy``:
+    "broadcast" (seed-parallel numpy over broadcast CSR), "shards" (lockstep
+    supersteps over the distributed shard table — no broadcast, no cap), or
+    "auto" = broadcast until ``csr_max_edges``, shards past it."""
     from .bfs import _seed_batches
 
-    if graph.num_edges > DEFAULT_CSR_MAX_EDGES:
+    if strategy not in ("auto", "broadcast", "shards"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = "broadcast" if graph.num_edges <= csr_max_edges else "shards"
+    if strategy == "shards":
+        n = graph.num_nodes
+        scale = 1.0 if seeds is None else float(n) / max(1, len(seeds))
+        seeds_df = (
+            graph.vertices().select(F.col("v").alias("seed"))
+            if seeds is None
+            else _seed_batches(graph, np.asarray(seeds, dtype=np.int64))
+        )
+        return _betweenness_shards(
+            graph, seeds_df, scale, transposed, max_supersteps, metrics
+        )
+    if graph.num_edges > csr_max_edges:
         raise ValueError(
             f"graph has {graph.num_edges} edges > CSR fast-path cap "
-            f"{DEFAULT_CSR_MAX_EDGES}; shard the sources over bfs_frontier"
+            f"{csr_max_edges}; use strategy='shards'"
         )
     bc = graph.csr_broadcast(transposed=transposed)
     n = graph.num_nodes

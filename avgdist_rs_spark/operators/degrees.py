@@ -89,7 +89,19 @@ def graph_summary(graph: GraphFrame, orientation: str = "auto") -> DataFrame:
     sd = sym.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a").join(
         deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b"
     )
-    assort = sd.agg(F.corr("da", "db").alias("r"))
+    # explicit guarded Pearson: ANSI-mode corr() raises DIVIDE_BY_ZERO on a
+    # zero-variance degree sequence (e.g. one isolated edge); DuckDB's corr
+    # returns NULL there — match it
+    assort = sd.agg(
+        F.covar_samp("da", "db").alias("_cov"),
+        F.stddev_samp("da").alias("_sa"),
+        F.stddev_samp("db").alias("_sb"),
+    ).select(
+        F.when(
+            (F.col("_sa") > 0) & (F.col("_sb") > 0),
+            F.col("_cov") / (F.col("_sa") * F.col("_sb")),
+        ).alias("r")
+    )
     degs = graph.edges.agg(
         F.countDistinct("src").alias("nsrc"), F.countDistinct("dst").alias("ndst")
     )
@@ -121,7 +133,11 @@ def graph_summary(graph: GraphFrame, orientation: str = "auto") -> DataFrame:
             F.col("mo").cast("long").alias("max_out_degree"),
             F.col("mi").cast("long").alias("max_in_degree"),
             "triangles",
-            F.round(F.lit(3.0) * F.lit(tri) / F.col("w"), 6).alias("transitivity"),
+            # triangle-free / edge-sparse graphs have w=0 — NULL, not a
+            # divide-by-zero artifact (mirrored as CASE in the DuckDB oracle)
+            F.when(
+                F.col("w") > 0, F.round(F.lit(3.0) * F.lit(tri) / F.col("w"), 6)
+            ).otherwise(F.lit(None).cast("double")).alias("transitivity"),
             F.round(F.col("r"), 6).alias("assortativity"),
         )
     )
@@ -135,6 +151,7 @@ def link_prediction_scores(
     graph: GraphFrame,
     max_middle_degree: int | None = None,
     min_common: int = 1,
+    eager: bool = True,
 ) -> DataFrame:
     """(a, b, common, adamic_adar) for non-adjacent undirected pairs sharing
     ≥ ``min_common`` neighbors — the classic link-prediction / related-items
@@ -146,6 +163,13 @@ def link_prediction_scores(
     ``max_middle_degree`` to drop super-hub middles (the standard cap: a hub
     shared by everyone carries ~zero Adamic–Adar signal anyway, 1/ln(d)→0;
     changes results, leave None for oracle parity).
+
+    ``eager=True`` (default) materializes the scores (localCheckpoint) and
+    releases the cached undirected edge table before returning — repeated
+    calls in a long-lived session must not leak caches. ``eager=False``
+    returns the lazy plan for composition; the caller then owns the cache:
+    unpersist via ``returned_df.sparkSession.catalog.clearCache()`` or keep
+    the default.
     """
     from .triangles import canonical_edges
 
@@ -179,4 +203,7 @@ def link_prediction_scores(
         .where(F.col("common") >= min_common)
         .join(und, ["a", "b"], "anti")  # only NON-adjacent candidate pairs
     )
+    if eager:
+        scores = scores.localCheckpoint(eager=True)
+        und.unpersist()
     return scores

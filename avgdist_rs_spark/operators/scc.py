@@ -6,7 +6,8 @@ graph, nontrivial SCCs are exactly the conversation loops (tool-response
 cycles), and the condensation is what any reachability analysis runs on.
 
 Algorithm (public literature: FB-Trim / multi-pivot coloring, Slota et al.;
-Hong et al.): alternate two phases until every vertex is assigned —
+Hong et al.; Orzan's coloring): alternate two phases until every vertex is
+assigned —
 
 1. **Trim fixpoint** — a vertex with no alive successor or no alive
    predecessor is its own singleton SCC; removing it can expose more. On
@@ -15,16 +16,41 @@ Hong et al.): alternate two phases until every vertex is assigned —
 2. **Coloring round** — for the cyclic remainder: propagate color(v) =
    max(own, colors of alive in-neighbors) to fixpoint, so color(v) = the
    max-id vertex that reaches v. Every color class has one pivot (its own
-   max vertex); the pivot's SCC = vertices of its class that reach it —
-   found by one backward frontier expansion restricted to the class, ALL
-   pivots in parallel (the class key rides the frontier). Assign each found
-   SCC its min member id (deterministic, exact-match testable), remove, and
-   loop back to trimming.
+   max vertex); the pivot's SCC = vertices of its class that reach it.
+   Assign each found SCC its min member id (deterministic, exact-match
+   testable), remove, and loop back to trimming.
+
+Large-diameter regime (the north star's: the reference's payment graph shows
+~24k-hop chains, ``results/bit-count.txt``): both fixpoints of phase 2 get
+the same monotone pointer-jump shortcut as ``components`` —
+
+- color propagation: ``color(v) ← max(color(v), color(color(v)))`` is sound
+  (whatever reaches your colorer reaches you), so labels travel 2^k hops in
+  k supersteps → O(log diameter) instead of O(diameter).
+- the backward pivot sweep is re-expressed as a SECOND max-propagation over
+  the class-restricted REVERSED edges: ``rcolor(v)`` = max vertex reachable
+  from v within its color class, with the same jump (anything reachable from
+  your rcolor is reachable from you). At fixpoint ``v ∈ SCC(pivot c)`` iff
+  ``color(v) = rcolor(v) = c`` — exactly Orzan's membership rule, because
+  every v→pivot path inside an SCC stays inside the color class. This
+  replaces the O(SCC diameter) frontier BFS of rounds ≤3 with O(log).
+
+``shortcut="auto"`` (default) pays the jump join only when the diameter
+proxy demands it: plain one-hop propagation for the first
+``AUTO_SHORTCUT_AFTER`` color supersteps per round, jumping after; the
+backward phase uses the rcolor formulation whenever the coloring needed the
+jump (large diameter observed), the frontier sweep otherwise (small SCCs —
+frontier work is proportional to SCC size, not to the alive set).
 
 Physical shape per superstep: the same fused union-aggregate discipline as
 ``components``/``labelprop`` (state rows ride the contribution union into one
 exchange); edge tables are filtered to the alive set by hash semi-joins and
-re-persisted once per round, not per superstep.
+re-persisted once per round, not per superstep. Jump supersteps run with AQE
+enabled (the label self-join measurably wants adaptive broadcast — see
+``components.connected_components``), plain ones with AQE disabled. The
+``assigned`` accumulator is folded through ``localCheckpoint`` every
+``ASSIGNED_FOLD_EVERY`` unions so deep-trim DAGs cannot stack thousands of
+Union children into the final plan (round-3 advice).
 """
 
 from __future__ import annotations
@@ -36,7 +62,21 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.graph import GraphFrame
-from ..streaming.superstep import Checkpointer, SuperstepMetrics, aqe_disabled
+from ..streaming.superstep import (
+    Checkpointer,
+    SuperstepMetrics,
+    aqe_disabled,
+    aqe_enabled,
+)
+
+#: color supersteps per round before "auto" enables pointer jumping (mirrors
+#: components.AUTO_SHORTCUT_AFTER — short-diameter graphs converge before
+#: jumping would help and never pay the extra self-join)
+AUTO_SHORTCUT_AFTER = 4
+
+#: fold the assigned-vertices accumulator through localCheckpoint every this
+#: many unionAll's — bounds final-plan Union depth on deep-trim DAGs
+ASSIGNED_FOLD_EVERY = 8
 
 
 def strongly_connected_components(
@@ -45,6 +85,7 @@ def strongly_connected_components(
     max_supersteps: int = 10_000,
     checkpointer: Checkpointer | None = None,
     metrics: SuperstepMetrics | None = None,
+    shortcut: bool | str = "auto",
 ) -> DataFrame:
     """(v, component) for every vertex; component = min vertex id of v's SCC."""
     spark = graph.spark
@@ -59,6 +100,7 @@ def strongly_connected_components(
     alive = graph.vertices().localCheckpoint(eager=True)
     n_alive = alive.count()
     assigned: DataFrame | None = None
+    n_acc = 0
     step = 0
 
     def _record(rows: int, t0: float) -> int:
@@ -67,11 +109,101 @@ def strongly_connected_components(
         met.record(step, rows, time.monotonic() - t0)
         return step
 
-    with aqe_disabled(spark):
-        for _round in range(1, max_rounds + 1):
-            if n_alive == 0:
-                break
-            # ---- phase 1: trim fixpoint (singleton SCCs) -----------------------
+    def _accumulate(found: DataFrame) -> None:
+        nonlocal assigned, n_acc
+        assigned = found if assigned is None else assigned.unionAll(found)
+        n_acc += 1
+        if n_acc % ASSIGNED_FOLD_EVERY == 0:
+            assigned = assigned.localCheckpoint(eager=True)
+            met.assigned_folds = getattr(met, "assigned_folds", 0) + 1
+
+    def _pri(col):
+        # the propagation ORDER is (xxhash64(vertex), vertex) — a deterministic
+        # pseudo-random total order. Propagating by RAW id would defeat pointer
+        # jumping on adversarial orientations (an ascending-id ring makes
+        # max(v, pred)=v for every vertex: all pointers are self-loops, the
+        # wave crawls one hop per superstep, O(n)); random priorities make
+        # non-self pointer chains form everywhere, so doubling converges in
+        # O(log) whp (the classic randomized list-ranking/leader-election
+        # argument). The SCC output is order-invariant — only WHICH vertex
+        # pivots each class changes, never the membership.
+        return F.struct(F.xxhash64(col).alias("h"), col.alias("w"))
+
+    def _max_prop_fixpoint(state0: DataFrame, edge_tbl: DataFrame,
+                           src_col: str, dst_col: str, label: str) -> DataFrame:
+        """Priority-max label propagation along ``src_col → dst_col`` of
+        ``edge_tbl`` to fixpoint, with monotone pointer jumping per
+        ``shortcut``. ``state0`` is (v, <label>); returns the converged
+        (v, <label>) where <label> = the priority-max vertex reaching v."""
+        nonlocal step
+        state = state0
+        it = 0
+        while True:
+            it += 1
+            t0 = time.monotonic()
+            jump = shortcut is True or (shortcut == "auto" and it > AUTO_SHORTCUT_AFTER)
+            with (aqe_enabled if jump else aqe_disabled)(spark):
+                contrib = state.join(
+                    edge_tbl, state.v == F.col(src_col)
+                ).select(
+                    F.col(dst_col).alias("v"),
+                    _pri(F.col(label)).alias("cand"),
+                    F.lit(None).cast("long").alias("_prev"),
+                )
+                own = state.select(
+                    "v", _pri(F.col(label)).alias("cand"), F.col(label).alias("_prev")
+                )
+                stepped = (
+                    contrib.unionAll(own)
+                    .groupBy("v")
+                    .agg(F.max("cand").alias("m"), F.max("_prev").alias("_old"))
+                    .select("v", F.col("m.w").alias(label), "_old")
+                )
+                if jump:
+                    # monotone shortcut: adopt your label's own label — sound
+                    # because reachability composes; labels now travel 2^k hops
+                    # in k supersteps (same recipe as components.py)
+                    parent = stepped.select(
+                        F.col("v").alias("_pv"), F.col(label).alias("_pc")
+                    )
+                    stepped = stepped.join(
+                        parent, stepped[label] == F.col("_pv"), "left"
+                    ).select(
+                        "v",
+                        "_old",
+                        # NULL check, not coalesce-of-struct: xxhash64(NULL) is
+                        # the seed, so _pri(NULL) is a NON-null struct
+                        F.when(F.col("_pc").isNull(), F.col(label))
+                        .otherwise(
+                            F.greatest(
+                                _pri(F.col(label)), _pri(F.col("_pc"))
+                            ).getField("w")
+                        )
+                        .alias(label),
+                    )
+                stepped = ckpt.step(stepped, step + 1)
+                changed = int(
+                    stepped.agg(
+                        F.sum((F.col(label) != F.col("_old")).cast("long"))
+                    ).collect()[0][0]
+                    or 0
+                )
+            state = stepped.drop("_old")
+            _record(changed, t0)
+            if changed == 0:
+                return state
+            if step >= max_supersteps:
+                # a truncated fixpoint would silently split SCCs — fail loudly
+                raise RuntimeError(
+                    f"scc: {label} propagation not converged within "
+                    f"max_supersteps={max_supersteps}; raise the budget"
+                )
+
+    for _round in range(1, max_rounds + 1):
+        if n_alive == 0:
+            break
+        # ---- phase 1: trim fixpoint (singleton SCCs) -----------------------
+        with aqe_disabled(spark):
             while n_alive > 0:
                 t0 = time.monotonic()
                 ea = edges.join(alive.select(F.col("v").alias("_s")), "_s").join(
@@ -88,99 +220,108 @@ def strongly_connected_components(
                     _record(0, t0)
                     break
                 # dead derives from two checkpointed frames — lineage stays
-                # shallow without materializing the growing union every step
+                # shallow; the accumulator itself is folded on its own cadence
                 dead = alive.join(keep, "v", "anti").select(
                     "v", F.col("v").alias("component")
                 )
-                assigned = dead if assigned is None else assigned.unionAll(dead)
+                _accumulate(dead)
                 alive, n_alive = keep, n_keep
                 _record(n_alive, t0)
-            if n_alive == 0:
-                break
-            # ---- phase 2: one coloring round on the cyclic remainder -----------
-            ea = (
-                edges.join(alive.select(F.col("v").alias("_s")), "_s")
-                .join(alive.select(F.col("v").alias("_d")), "_d")
+        if n_alive == 0:
+            break
+        # ---- phase 2: one coloring round on the cyclic remainder -----------
+        ea = (
+            edges.join(alive.select(F.col("v").alias("_s")), "_s")
+            .join(alive.select(F.col("v").alias("_d")), "_d")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        ea.count()
+        color0 = alive.select("v", F.col("v").alias("color")).localCheckpoint(eager=True)
+        steps_before = step
+        color = _max_prop_fixpoint(color0, ea, "_s", "_d", "color")
+        color = color.persist(StorageLevel.MEMORY_AND_DISK)
+        color.count()
+        color_steps = step - steps_before
+        large_diameter = shortcut is True or (
+            shortcut == "auto" and color_steps > AUTO_SHORTCUT_AFTER
+        )
+        if large_diameter:
+            # ---- backward membership as a second max-propagation ----------
+            # class-restricted edges (SCC paths never leave the color class)
+            eac = (
+                ea.join(
+                    color.select(F.col("v").alias("_s"), F.col("color").alias("_sc")),
+                    "_s",
+                )
+                .join(
+                    color.select(F.col("v").alias("_d"), F.col("color").alias("_dc")),
+                    "_d",
+                )
+                .where(F.col("_sc") == F.col("_dc"))
+                .select("_s", "_d")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            ea.count()
-            color = alive.select("v", F.col("v").alias("color")).localCheckpoint(eager=True)
-            while True:
-                t0 = time.monotonic()
-                # fused max-propagation (same shape as components.connected_components)
-                contrib = color.join(ea, color.v == F.col("_s")).select(
-                    F.col("_d").alias("v"),
-                    F.col("color").alias("cand"),
-                    F.lit(None).cast("long").alias("_prev"),
-                )
-                state = color.select(
-                    "v", F.col("color").alias("cand"), F.col("color").alias("_prev")
-                )
-                stepped = (
-                    contrib.unionAll(state)
-                    .groupBy("v")
-                    .agg(F.max("cand").alias("color"), F.max("_prev").alias("_old"))
-                )
-                stepped = ckpt.step(stepped, step + 1)
-                changed = int(
-                    stepped.agg(
-                        F.sum((F.col("color") != F.col("_old")).cast("long"))
-                    ).collect()[0][0]
-                    or 0
-                )
-                color = stepped.drop("_old")
-                _record(changed, t0)
-                if changed == 0:
-                    break
-                if step >= max_supersteps:
-                    # a truncated color fixpoint would silently split SCCs —
-                    # fail loudly like every other fixpoint here
-                    raise RuntimeError(
-                        f"scc: color propagation not converged within "
-                        f"max_supersteps={max_supersteps}; raise the budget"
-                    )
-            color = color.persist(StorageLevel.MEMORY_AND_DISK)
-            color.count()
-            # backward frontier from each pivot within its color class, in parallel
+            eac.count()
+            r0 = color.select("v", F.col("v").alias("rcolor")).localCheckpoint(
+                eager=True
+            )
+            # propagate along REVERSED edges: rcolor(v) = max vertex reachable
+            # from v within its class (contribution flows successor → source)
+            rcolor = _max_prop_fixpoint(r0, eac, "_d", "_s", "rcolor")
+            mem = (
+                rcolor.join(color, "v")
+                .where(F.col("rcolor") == F.col("color"))
+                .select("v", "color")
+                .localCheckpoint(eager=True)
+            )
+            eac.unpersist()
+        else:
+            # ---- backward frontier from each pivot within its class -------
+            # work proportional to the found SCCs, right for small diameters
             mem = color.where(F.col("v") == F.col("color")).select("v", "color")
             mem = mem.localCheckpoint(eager=True)
             frontier = mem
-            while True:
-                t0 = time.monotonic()
-                preds = (
-                    frontier.join(ea, frontier.v == F.col("_d"))
-                    .select(F.col("_s").alias("v"), "color")
-                    .distinct()
-                    .join(
-                        color.select(F.col("v").alias("v"), F.col("color").alias("_vc")),
-                        "v",
+            with aqe_disabled(spark):
+                while True:
+                    t0 = time.monotonic()
+                    preds = (
+                        frontier.join(ea, frontier.v == F.col("_d"))
+                        .select(F.col("_s").alias("v"), "color")
+                        .distinct()
+                        .join(
+                            color.select(
+                                F.col("v").alias("v"), F.col("color").alias("_vc")
+                            ),
+                            "v",
+                        )
+                        .where(F.col("color") == F.col("_vc"))
+                        .select("v", "color")
                     )
-                    .where(F.col("color") == F.col("_vc"))
-                    .select("v", "color")
-                )
-                new = preds.join(mem, ["v", "color"], "anti").localCheckpoint(eager=True)
-                n_new = new.count()
-                _record(n_new, t0)
-                if n_new == 0:
-                    break
-                if step >= max_supersteps:
-                    raise RuntimeError(
-                        f"scc: backward sweep not converged within "
-                        f"max_supersteps={max_supersteps}; raise the budget"
+                    new = preds.join(mem, ["v", "color"], "anti").localCheckpoint(
+                        eager=True
                     )
-                mem = mem.unionAll(new)
-                mem = ckpt.step(mem, step)
-                frontier = new
-            # label each found SCC with its min member; remove from alive
-            labels = mem.groupBy("color").agg(F.min("v").alias("component"))
-            found = (
-                mem.join(labels, "color").select("v", "component").localCheckpoint(eager=True)
-            )
-            assigned = found if assigned is None else assigned.unionAll(found)
-            alive = alive.join(mem.select("v"), "v", "anti").localCheckpoint(eager=True)
-            n_alive = alive.count()
-            color.unpersist()
-            ea.unpersist()
+                    n_new = new.count()
+                    _record(n_new, t0)
+                    if n_new == 0:
+                        break
+                    if step >= max_supersteps:
+                        raise RuntimeError(
+                            f"scc: backward sweep not converged within "
+                            f"max_supersteps={max_supersteps}; raise the budget"
+                        )
+                    mem = mem.unionAll(new)
+                    mem = ckpt.step(mem, step)
+                    frontier = new
+        # label each found SCC with its min member; remove from alive
+        labels = mem.groupBy("color").agg(F.min("v").alias("component"))
+        found = (
+            mem.join(labels, "color").select("v", "component").localCheckpoint(eager=True)
+        )
+        _accumulate(found)
+        alive = alive.join(mem.select("v"), "v", "anti").localCheckpoint(eager=True)
+        n_alive = alive.count()
+        color.unpersist()
+        ea.unpersist()
     if n_alive > 0:
         edges.unpersist()
         raise RuntimeError(

@@ -233,16 +233,44 @@ def decode_range(
     return np.concatenate(srcs), np.concatenate(dsts)
 
 
-def read_offsets(basename: str, n: int) -> np.ndarray:
+def read_offsets(basename: str, n: int, cache: bool = True) -> np.ndarray:
     """Bit offsets of each node's successor list (n+1 values): the
-    ``.offsets`` sidecar is a γ-stream of gaps (WebGraph writeOffsets)."""
-    with open(basename + ".offsets", "rb") as f:
+    ``.offsets`` sidecar is a γ-stream of gaps (WebGraph writeOffsets).
+
+    The γ-stream is a sequential chain (each code's start is the previous
+    code's end), so the decode is one O(n) pass; it runs once per basename
+    and is memoized to an ``.npy`` sidecar in a temp cache (keyed by absolute
+    path + mtime — the source dir itself may be read-only), making repeat
+    opens O(1). At the 10^8-node-plus scale the right sidecar is the
+    reference's own Elias-Fano ``.ef`` (constant-time select, no decode pass)
+    — a documented non-goal of this decoder."""
+    path = basename + ".offsets"
+    cache_file = None
+    if cache:
+        import hashlib
+        import tempfile
+
+        st = os.stat(path)
+        key = hashlib.md5(
+            f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}:{n}".encode()
+        ).hexdigest()
+        cdir = os.path.join(tempfile.gettempdir(), "bvgraph_offsets_cache")
+        os.makedirs(cdir, exist_ok=True)
+        cache_file = os.path.join(cdir, key + ".npy")
+        if os.path.exists(cache_file):
+            return np.load(cache_file)
+    with open(path, "rb") as f:
         r = BitReader(f.read())
     offs = np.zeros(n + 1, dtype=np.int64)
     acc = 0
     for i in range(n + 1):
         acc += r.read_gamma()
         offs[i] = acc
+    if cache_file is not None:
+        tmp = cache_file + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.save(f, offs)
+        os.replace(tmp, cache_file)  # atomic: concurrent opens see old or new
     return offs
 
 
@@ -268,10 +296,12 @@ def read_bvgraph(
     """Distributed BVGraph read → (edges DataFrame (src, dst), num_nodes).
 
     The driver scans only the γ-coded ``.offsets`` sidecar to place split
-    boundaries; each task independently decodes its node range from the
-    ``.graph`` payload, warming up ``windowsize`` nodes before its boundary
-    so copy-references resolve without cross-task communication. O(m/splits)
-    work per task, no sequential whole-file pass anywhere.
+    boundaries (memoized — see :func:`read_offsets`); each task seeks to and
+    reads ONLY the byte range its node slice occupies in the ``.graph``
+    payload (bit positions are rebased to the slice), warming up
+    ``windowsize`` nodes before its boundary so copy-references resolve
+    without cross-task communication. O(m/splits) work AND I/O per task —
+    a multi-GB .graph never materializes whole in any single process.
     """
     from pyspark.sql import functions as F
 
@@ -291,19 +321,24 @@ def read_bvgraph(
         if lo >= hi:
             continue
         # reference chains reach ≤ maxrefcount·windowsize nodes back — each
-        # task carries exactly the offsets slice its range can ever touch
+        # task carries exactly the offsets slice its range can ever touch,
+        # REBASED to the byte range it will read from the payload
         base = max(0, lo - maxref * windowsize)
-        rows.append((lo, hi, base, offs[base : hi + 1].tobytes()))
+        byte_lo = int(offs[base]) >> 3
+        n_bytes = -(-int(offs[hi]) // 8) - byte_lo  # ceil(end/8) − start byte
+        rebased = offs[base : hi + 1] - (byte_lo << 3)
+        rows.append((lo, hi, base, byte_lo, n_bytes, rebased.tobytes()))
     graph_path = os.path.abspath(basename + ".graph")
     splits = spark.createDataFrame(
-        rows, "lo long, hi long, base long, offs binary"
+        rows, "lo long, hi long, base long, byte_lo long, n_bytes long, offs binary"
     ).repartition(len(rows))
 
     def decode(batches):
-        with open(graph_path, "rb") as f:
-            data = f.read()
         for pdf in batches:
             for row in pdf.itertuples():
+                with open(graph_path, "rb") as f:
+                    f.seek(int(row.byte_lo))
+                    data = f.read(int(row.n_bytes))
                 o = np.frombuffer(row.offs, dtype=np.int64)
                 s, d = decode_range(
                     data, o, int(row.lo), int(row.hi),

@@ -71,6 +71,16 @@ def test_clustering_and_summary_vs_networkx(spark):
     )
     g.unpersist()
 
+    # wedge-free graph (one isolated edge): transitivity is NULL, not a
+    # division-by-zero artifact (round-3 advice)
+    g0 = GraphFrame.from_edges(
+        spark.createDataFrame(pd.DataFrame([(0, 1)], columns=["src", "dst"])),
+        num_nodes=2,
+    )
+    s0 = graph_summary(g0).collect()[0]
+    assert s0["transitivity"] is None and s0["triangles"] == 0
+    g0.unpersist()
+
 
 def test_scc_vs_networkx(spark):
     import pytest
@@ -123,6 +133,80 @@ def test_scc_large_cycle_and_dag(spark):
     g.unpersist()
 
 
+def test_scc_10k_cycle_olog_supersteps(spark):
+    """North-star large-diameter regime (mirrors ``cc_chain_10k``): a directed
+    10k-vertex cycle is ONE SCC of diameter ~10k. Plain coloring + frontier
+    sweep would need ~2×10⁴ supersteps; the auto pointer-jump shortcut (color
+    doubling + rcolor-based backward membership) must land in O(log n)."""
+    from avgdist_rs_spark.operators.scc import strongly_connected_components
+    from avgdist_rs_spark.plans.graph import GraphFrame
+    from avgdist_rs_spark.streaming.superstep import SuperstepMetrics
+
+    n = 10_000
+    cyc = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    g = GraphFrame.from_edges(cyc, num_nodes=n, dedup=False)
+    met = SuperstepMetrics()
+    got = strongly_connected_components(g, metrics=met).toPandas()
+    assert (got["component"] == 0).all() and len(got) == n
+    # 1 no-op trim + (4 plain + ~2·log2 whp jumping) color + same-shape rcolor
+    # pass — measured 51; anything O(n)-ish would be thousands
+    assert met.total_supersteps <= 60, met.total_supersteps
+    g.unpersist()
+
+
+def test_scc_shortcut_modes_agree(spark):
+    """shortcut=True / False / "auto" produce the identical exact labeling on a
+    graph with nontrivial SCCs, chains, and a self-loop (the frontier-sweep and
+    rcolor-propagation backward phases must agree vertex-for-vertex)."""
+    import pandas as pd
+    from avgdist_rs_spark.operators.scc import strongly_connected_components
+    from avgdist_rs_spark.plans.graph import GraphFrame
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3),
+        (6, 0), (5, 7), (7, 8), (9, 9), (8, 6),
+    ]
+    pdf = pd.DataFrame(pairs, columns=["src", "dst"])
+    g = GraphFrame.from_edges(spark.createDataFrame(pdf), num_nodes=11, dedup=False)
+    runs = {
+        mode: {
+            r["v"]: r["component"]
+            for r in strongly_connected_components(g, shortcut=mode).collect()
+        }
+        for mode in (True, False, "auto")
+    }
+    assert runs[True] == runs[False] == runs["auto"]
+    g.unpersist()
+
+
+def test_scc_deep_chain_dag_bounded_plan(spark):
+    """A deep chain DAG drives hundreds of trim supersteps; the assigned
+    accumulator must fold through localCheckpoint on its cadence so the final
+    plan carries at most ASSIGNED_FOLD_EVERY stacked Unions (round-3 advice:
+    thousands of Union children risk analyzer blowup on deep-trim DAGs)."""
+    from avgdist_rs_spark.operators import scc as scc_mod
+    from avgdist_rs_spark.plans.graph import GraphFrame
+    from avgdist_rs_spark.streaming.superstep import SuperstepMetrics
+
+    n = 240  # chain trims 2 vertices/superstep -> ~120 trim supersteps
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    g = GraphFrame.from_edges(chain, num_nodes=n, dedup=False)
+    met = SuperstepMetrics()
+    got = scc_mod.strongly_connected_components(g, metrics=met).toPandas()
+    # every vertex is its own singleton SCC on a DAG
+    assert (got["v"] == got["component"]).all() and len(got) == n
+    # the accumulator folded on cadence (~120 accumulations / 8 per fold), so
+    # the plan never stacks more than ASSIGNED_FOLD_EVERY Unions (vs ~120
+    # before the fix)
+    expected = (n // 2) // scc_mod.ASSIGNED_FOLD_EVERY - 2
+    assert getattr(met, "assigned_folds", 0) >= expected
+    g.unpersist()
+
+
 def test_link_prediction_vs_networkx(spark):
     import pytest
     nx = pytest.importorskip("networkx")
@@ -172,4 +256,38 @@ def test_betweenness_vs_networkx(spark):
     import numpy as np
     got_s = {r["v"]: r["bc"] for r in betweenness(g, seeds=np.arange(10)).collect()}
     assert got_s == got
+
+    # the sharded lockstep strategy produces the identical exact scores
+    got_sh = {r["v"]: r["bc"] for r in betweenness(g, strategy="shards").collect()}
+    for v in range(10):
+        assert got_sh[v] == pytest.approx(want[v], abs=1e-6), f"shards v={v}"
+    g.unpersist()
+
+
+def test_betweenness_shards_past_broadcast_cap(spark):
+    """The round-3 gap: past csr_max_edges the operator RAISED even in sampled
+    mode (the reference's flagship graph is 2.16e9 edges). auto must now fall
+    back to the sharded lockstep strategy and still match the broadcast scores
+    vertex-for-vertex — driver-ceiling style (à la test_csr_shards): the cap
+    is forced below the graph size so the broadcast path is unavailable."""
+    import numpy as np
+    import pytest
+    from avgdist_rs_spark.operators.betweenness import betweenness
+    from avgdist_rs_spark.sources.fixtures import barabasi_graph
+
+    g = barabasi_graph(spark, n=200, m=3, seed=11)
+    seeds = np.array([0, 7, 42, 120, 199], dtype=np.int64)
+    want = (
+        betweenness(g, seeds=seeds)  # broadcast path (under the real cap)
+        .toPandas().set_index("v")["bc"]
+    )
+    with pytest.raises(ValueError, match="shards"):
+        betweenness(g, seeds=seeds, strategy="broadcast", csr_max_edges=10)
+    got = (
+        betweenness(g, seeds=seeds, csr_max_edges=10)  # auto -> shards
+        .toPandas().set_index("v")["bc"]
+    )
+    assert len(got) == 200
+    for v in got.index:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), f"v={v}"
     g.unpersist()
