@@ -240,13 +240,22 @@ def _q_betweenness(spark, sf):
     return _orig(g, bt, ["v"]).select("v", "bc")
 
 
+#: middle-degree cap for the link-prediction driver query — the hub-skew
+#: lever applied BY DEFAULT (wedge volume is Σ deg(mid)²; the event-type hubs
+#: make the uncapped join quadratic in n). Mirrored exactly in the oracle, so
+#: the pair stays value-exact; super-hub middles carry ~zero Adamic–Adar
+#: signal (1/ln d → 0) anyway.
+_LP_MAX_MID = 64
+
+
 def _q_link_prediction(spark, sf):
     """Common-neighbor + Adamic–Adar scores for non-adjacent pairs (the
-    related-conversations / link-prediction primitive)."""
+    related-conversations / link-prediction primitive), hub middles capped
+    (``_LP_MAX_MID``) as at scale."""
     from avgdist_rs_spark.operators.degrees import link_prediction_scores
 
     g = _graph(spark, sf)
-    lp = link_prediction_scores(g, min_common=2)
+    lp = link_prediction_scores(g, min_common=2, max_middle_degree=_LP_MAX_MID)
     return _orig(g, lp, ["a", "b"]).select(
         "a", "b", F.col("common").cast("long"), "adamic_adar"
     )
@@ -1375,9 +1384,10 @@ def _link_prediction_sql() -> str:
         _EG,
         _CA_PARTS[0],  # ca
         _CA_PARTS[1],  # cdeg
+        # the middle-degree cap mirrors _LP_MAX_MID on the engine side
         "lpinc AS MATERIALIZED (SELECT mid, x, d FROM "
         "(SELECT a AS mid, b AS x FROM ca UNION ALL SELECT b AS mid, a AS x FROM ca) i "
-        "JOIN cdeg ON cdeg.v = i.mid)",
+        f"JOIN cdeg ON cdeg.v = i.mid WHERE cdeg.d <= {_LP_MAX_MID})",
         "lpsc AS (SELECT w1.x AS a, w2.x AS b, count(*) AS common, "
         "round(sum(1.0 / ln(w1.d)), 6) AS adamic_adar "
         "FROM lpinc w1 JOIN lpinc w2 ON w1.mid = w2.mid AND w1.x < w2.x "

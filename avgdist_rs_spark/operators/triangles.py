@@ -83,8 +83,18 @@ def _oriented(
 def _closed_wedges(
     graph: GraphFrame, orientation: str, canonical: DataFrame | None = None
 ) -> DataFrame:
+    # persist the canonical view for the span where it is read twice: the
+    # "auto" probe aggregate AND the oriented build each scan it — without
+    # the cache the distinct shuffle runs twice (the round-3 → round-2 drift
+    # of the triangle_count bench entry was exactly this duplicated scan)
+    own_canon = canonical is None
+    if own_canon:
+        canonical = canonical_edges(graph).persist()
+        canonical.count()
     o = _oriented(graph, orientation, canonical).persist()
     o.count()
+    if own_canon:
+        canonical.unpersist()
     o1 = o.select(F.col("tail"), F.col("head").alias("h1"), F.col("dh").alias("d1"))
     o2 = o.select(F.col("tail"), F.col("head").alias("h2"), F.col("dh").alias("d2"))
     lower = (F.col("d1") < F.col("d2")) | (

@@ -117,8 +117,14 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     from avgdist_rs_spark.operators.betweenness import betweenness
 
+    # force with an AGGREGATE over the score column: .count() lets Catalyst
+    # prune the bc-producing side of the final left join, skipping the Brandes
+    # kernel entirely (round-3's 1.1 s entry was this undermeasurement)
     bt_seeds = np.random.default_rng(11).integers(0, g.num_nodes, size=2048)
-    timed("betweenness_2048", lambda: betweenness(g, seeds=bt_seeds).count())
+    timed(
+        "betweenness_2048",
+        lambda: betweenness(g, seeds=bt_seeds).agg(F.sum("bc")).collect(),
+    )
 
     # sketch path: per-vertex neighbourhood function for ALL vertices at once
     # (the centrality strategy that replaces all-sources BFS past ~10^7 nodes)
@@ -174,7 +180,12 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed("triangle_count", lambda: triangle_count(g))
     timed("minhash_lsh_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.8).count())
-    timed("simhash", lambda: simhash(docs).count())
+    # aggregate the fingerprint column itself — count() over a join-free
+    # projection lets the scan skip computing the hashes altogether
+    timed(
+        "simhash",
+        lambda: simhash(docs).agg(F.expr("bit_xor(simhash)")).collect(),
+    )
     timed(
         "simhash_pairs_bucketed",
         lambda: simhash_pairs(docs, bits=32, max_hamming=6).count(),
@@ -205,8 +216,48 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         ).count(),
     )
 
+    # Structured Streaming: one availableNow drain of the events table through
+    # the stateful sessionizer (the only family that had no bench presence)
+    timed("stream_sessions", lambda: em._q_stream_sessions(spark, sf_dir).count())
+
     extras["num_nodes"] = g.num_nodes
     extras["num_edges"] = g.num_edges
+
+    # ---- second-scale block: the SAME kernels on a 10× replicated graph ----
+    # (10 disjoint id-offset copies of the eg graph — deterministic, no new
+    # data needed). Separates per-superstep fixed costs (flat across blocks)
+    # from data-bound costs (scale with the block) so per-query regressions
+    # at sf0.1 are interpretable. Disable with SPARK_GRAFT_10X=0.
+    if os.environ.get("SPARK_GRAFT_10X", "1") != "0":
+        n1 = g.num_nodes
+
+        def build10():
+            reps = spark.range(10).select(F.col("id").alias("rep"))
+            e10 = g.edges.crossJoin(reps).select(
+                (F.col("src") + F.col("rep") * n1).alias("src"),
+                (F.col("dst") + F.col("rep") * n1).alias("dst"),
+            )
+            return GraphFrame.from_edges(e10, num_nodes=10 * n1, dedup=False)
+
+        g10 = timed("10x_graph_build", build10)
+        timed("10x_pagerank_10it", lambda: pagerank(g10, iterations=10).count())
+        timed("10x_connected_components", lambda: connected_components(g10).count())
+        timed("10x_label_propagation_4it", lambda: label_propagation(g10, iterations=4).count())
+        timed("10x_triangle_count", lambda: triangle_count(g10))
+        timed("10x_hyperball_nf", lambda: hyperball(g10, p=8).count())
+        timed(
+            "10x_avgdist_estimator",
+            lambda: avgdist_main(g10, slot=64, eps=0.1, dummy=True, seed=42, max_batches=4),
+        )
+        seeds10 = np.random.default_rng(7).integers(0, g10.num_nodes, size=2048)
+        timed("10x_bfs_2048_sources", lambda: bfs_csr(g10, seeds10).count())
+        timed(
+            "10x_betweenness_2048",
+            lambda: betweenness(g10, seeds=seeds10).agg(F.sum("bc")).collect(),
+        )
+        extras["num_nodes_10x"] = g10.num_nodes
+        extras["num_edges_10x"] = g10.num_edges
+        g10.unpersist()
     return timings, extras
 
 
@@ -251,21 +302,26 @@ def main() -> None:
         vals = [e[k] for e in all_extras]
         extras[k] = round(statistics.median(vals), 6) if isinstance(vals[0], float) else vals[0]
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time (graph kernels + pipeline ops)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": cpus,
-                "runs": runs,
-                **extras,
-            }
-        )
-    )
+    # the 10x block reports separately: "value" stays the sf-dir suite total
+    # (comparable round-over-round), "queries_10x"/"value_10x" carry the
+    # second-scale measurements of the same kernels
+    queries = {k: v for k, v in timings.items() if not k.startswith("10x_")}
+    queries_10x = {k[4:]: v for k, v in timings.items() if k.startswith("10x_")}
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline suite wall time (graph kernels + pipeline ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "runs": runs,
+        **extras,
+    }
+    if queries_10x:
+        out["queries_10x"] = queries_10x
+        out["value_10x"] = round(sum(queries_10x.values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
