@@ -126,6 +126,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         lambda: betweenness(g, seeds=bt_seeds).agg(F.sum("bc")).collect(),
     )
 
+    # the past-broadcast-cap strategy: lockstep sharded Brandes (2·diameter
+    # DataFrame supersteps against the CSR shard table, no broadcast)
+    timed(
+        "betweenness_sharded_64",
+        lambda: betweenness(g, seeds=bt_seeds[:64], strategy="shards")
+        .agg(F.sum("bc"))
+        .collect(),
+    )
+
     # sketch path: per-vertex neighbourhood function for ALL vertices at once
     # (the centrality strategy that replaces all-sources BFS past ~10^7 nodes)
     from avgdist_rs_spark.operators.hyperball import hyperball
