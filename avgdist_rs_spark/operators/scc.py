@@ -44,8 +44,10 @@ frontier work is proportional to SCC size, not to the alive set).
 
 Physical shape per superstep: the same fused union-aggregate discipline as
 ``components``/``labelprop`` (state rows ride the contribution union into one
-exchange); edge tables are filtered to the alive set by hash semi-joins and
-re-persisted once per round, not per superstep. Jump supersteps run with AQE
+exchange). The alive-edge table is LOOP-CARRIED: seeded once from the full
+edge set and shrunk by (broadcast) anti-joins as vertices are assigned —
+every superstep scans the current m_t, never the original m₀, and phase 2
+reuses the table without a rebuild. Jump supersteps run with AQE
 enabled (the label self-join measurably wants adaptive broadcast — see
 ``components.connected_components``), plain ones with AQE disabled. The
 ``assigned`` accumulator is folded through ``localCheckpoint`` every
@@ -78,6 +80,14 @@ AUTO_SHORTCUT_AFTER = 4
 #: many unionAll's — bounds final-plan Union depth on deep-trim DAGs
 ASSIGNED_FOLD_EVERY = 8
 
+#: fold the loop-carried alive-edge table every this many shrink anti-joins.
+#: 1 = every shrink: between folds each ACTION re-executes the stacked
+#: anti-joins AND recomputes their lazy `dead` inputs (measured: cadence 8
+#: cost ~0.5 s/superstep extra in rebuilt broadcasts on a 240-chain);
+#: materializing the shrinking m_t once per superstep is the cheaper trade at
+#: every scale — it is bounded by the m_t scan the superstep does anyway.
+EA_FOLD_EVERY = 1
+
 
 def strongly_connected_components(
     graph: GraphFrame,
@@ -92,16 +102,32 @@ def strongly_connected_components(
     met = metrics if metrics is not None else SuperstepMetrics(name="scc")
     ckpt = checkpointer or Checkpointer(spark, name="scc", every=4)
 
-    edges = graph.edges.select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
-
     alive = graph.vertices().localCheckpoint(eager=True)
     n_alive = alive.count()
     assigned: DataFrame | None = None
     n_acc = 0
     step = 0
+
+    # loop-carried alive-edge table: seeded with the full edge set, SHRUNK by
+    # anti-joining out vertices as they leave `alive` (dead singletons each
+    # trim superstep, found SCCs each round) — every superstep scans the
+    # current m_t instead of rebuilding alive⋈edges⋈alive from the original
+    # m₀, and phase 2 reuses the table as-is. Lineage folds every
+    # EA_FOLD_EVERY shrinks (and once at each phase-2 entry).
+    ea = graph.edges.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    ).localCheckpoint(eager=True)
+    ea_dirty = 0
+
+    def _shrink_ea(gone: DataFrame, gone_count: int) -> None:
+        nonlocal ea, ea_dirty
+        g = F.broadcast(gone) if gone_count <= 5_000_000 else gone
+        ea = ea.join(g.select(F.col("v").alias("_s")), "_s", "anti").join(
+            g.select(F.col("v").alias("_d")), "_d", "anti"
+        )
+        ea_dirty += 1
+        if ea_dirty % EA_FOLD_EVERY == 0:
+            ea = ea.localCheckpoint(eager=True)
 
     def _record(rows: int, t0: float) -> int:
         nonlocal step
@@ -206,16 +232,14 @@ def strongly_connected_components(
         with aqe_disabled(spark):
             while n_alive > 0:
                 t0 = time.monotonic()
-                ea = edges.join(alive.select(F.col("v").alias("_s")), "_s").join(
-                    alive.select(F.col("v").alias("_d")), "_d"
-                ).persist()
+                # a vertex survives iff it has ≥1 out-edge AND ≥1 in-edge in
+                # the alive-edge table (ea endpoints are alive by invariant)
                 keep = (
                     alive.join(ea.select(F.col("_s").alias("v")).distinct(), "v", "semi")
                     .join(ea.select(F.col("_d").alias("v")).distinct(), "v", "semi")
                 )
                 keep = keep.localCheckpoint(eager=True)
                 n_keep = keep.count()
-                ea.unpersist()
                 if n_keep == n_alive:
                     _record(0, t0)
                     break
@@ -225,17 +249,13 @@ def strongly_connected_components(
                     "v", F.col("v").alias("component")
                 )
                 _accumulate(dead)
+                _shrink_ea(dead.select("v"), n_alive - n_keep)
                 alive, n_alive = keep, n_keep
                 _record(n_alive, t0)
         if n_alive == 0:
             break
         # ---- phase 2: one coloring round on the cyclic remainder -----------
-        ea = (
-            edges.join(alive.select(F.col("v").alias("_s")), "_s")
-            .join(alive.select(F.col("v").alias("_d")), "_d")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        ea.count()
+        ea = ea.localCheckpoint(eager=True)  # materialize for the fixpoints
         color0 = alive.select("v", F.col("v").alias("color")).localCheckpoint(eager=True)
         steps_before = step
         color = _max_prop_fixpoint(color0, ea, "_s", "_d", "color")
@@ -318,15 +338,14 @@ def strongly_connected_components(
             mem.join(labels, "color").select("v", "component").localCheckpoint(eager=True)
         )
         _accumulate(found)
+        prev_alive = n_alive
         alive = alive.join(mem.select("v"), "v", "anti").localCheckpoint(eager=True)
         n_alive = alive.count()
+        _shrink_ea(mem.select("v"), prev_alive - n_alive)
         color.unpersist()
-        ea.unpersist()
     if n_alive > 0:
-        edges.unpersist()
         raise RuntimeError(
             f"scc: {n_alive} vertices unresolved after {max_rounds} rounds"
         )
-    edges.unpersist()
     out = (assigned or graph.vertices().select("v", F.col("v").alias("component")))
     return out.localCheckpoint(eager=True)
