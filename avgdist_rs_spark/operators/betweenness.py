@@ -28,8 +28,11 @@ Spark shape — two physical strategies behind one API (``strategy="auto"``):
   the whole seed batch, independent of seed count.
 
 ``seeds`` samples sources for the standard O(k·m) approximation
-(Brandes–Pich); ``None`` = exact. Both strategies produce identical scores
-(tested vertex-for-vertex vs networkx and vs each other).
+(Brandes–Pich, drawn WITH replacement — duplicate seeds count once per
+occurrence in both strategies: the shards path BFSes distinct seeds and
+weights their dependencies by multiplicity); ``None`` = exact. Both
+strategies produce identical scores (tested vertex-for-vertex vs networkx
+and vs each other, including duplicated seed arrays).
 """
 
 from __future__ import annotations
@@ -93,54 +96,16 @@ def _brandes_seed(
 
 def _shard_edge_gather(graph: GraphFrame, transposed: bool):
     """expand(frontier(seed, v, sigma)) → (seed, u, sigma_u, w): every alive
-    out-edge of the frontier, σ riding along — the Brandes variant of
-    ``bfs._shard_gather`` (which drops the edge source). Same physics: shard
-    rows moved once at build, only the frontier shuffles per superstep, and
-    only touched buckets transit the Python worker."""
-    shards = graph.csr_shards(transposed=transposed)
-    bsz = graph.shard_width(transposed=transposed)
-    n = graph.num_nodes
-    tdt = np.int32 if n < 2**31 else np.int64
+    out-edge of the frontier, σ riding along. A thin rename over the shared
+    ``bfs._shard_gather(carry=("sigma",), emit_source=True)`` kernel — one
+    gather implementation serves BFS and Brandes."""
+    from .bfs import _shard_gather
 
-    def gather(key, fdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "seed": pd.Series(dtype="int64"),
-                "u": pd.Series(dtype="int64"),
-                "sigma_u": pd.Series(dtype="float64"),
-                "w": pd.Series(dtype="int64"),
-            }
-        )
-        if fdf.empty or sdf.empty:
-            return empty
-        offsets = np.frombuffer(sdf["offsets"].iloc[0], dtype=np.int64)
-        targets = np.frombuffer(sdf["targets"].iloc[0], dtype=tdt)
-        vlo = int(sdf["vlo"].iloc[0])
-        v = fdf["v"].to_numpy(dtype=np.int64) - vlo
-        starts = offsets[v]
-        counts = offsets[v + 1] - starts
-        total = int(counts.sum())
-        if total == 0:
-            return empty
-        idx = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
-        idx += np.arange(total, dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "seed": np.repeat(fdf["seed"].to_numpy(dtype=np.int64), counts),
-                "u": np.repeat(fdf["v"].to_numpy(dtype=np.int64), counts),
-                "sigma_u": np.repeat(fdf["sigma"].to_numpy(dtype=np.float64), counts),
-                "w": targets[idx].astype(np.int64),
-            }
-        )
+    inner = _shard_gather(graph, transposed, carry=("sigma",), emit_source=True)
 
     def expand(frontier: DataFrame) -> DataFrame:
-        fb = frontier.withColumn("bucket", F.floor(F.col("v") / bsz).cast("long"))
-        touched = fb.select("bucket").distinct()
-        sh = shards.join(F.broadcast(touched), "bucket", "left_semi")
-        return (
-            fb.groupBy("bucket")
-            .cogroup(sh.groupBy("bucket"))
-            .applyInPandas(gather, schema="seed long, u long, sigma_u double, w long")
+        return inner(frontier).select(
+            "seed", "u", F.col("sigma").alias("sigma_u"), F.col("v").alias("w")
         )
 
     return expand
@@ -161,7 +126,15 @@ def _betweenness_shards(
     ckpt = Checkpointer(spark, name="betweenness", every=4)
     expand = _shard_edge_gather(graph, transposed)
 
-    frontier = seeds_df.select(
+    # the sampled estimator draws WITH replacement (as the broadcast path,
+    # which runs the kernel once per occurrence): BFS duplicate seeds once,
+    # weight their dependencies by multiplicity at accumulation
+    mult = (
+        seeds_df.groupBy("seed")
+        .agg(F.count("*").cast("double").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = mult.select(
         "seed", F.col("seed").alias("v"), F.lit(1.0).alias("sigma")
     )
     visited = frontier.withColumn("dist", F.lit(0).cast("int")).localCheckpoint(
@@ -199,7 +172,7 @@ def _betweenness_shards(
             visited = ckpt.step(visited.unionAll(newf), depth)
             frontier = newf.select("seed", "v", "sigma")
         # ---- reverse: δ folds down one level per superstep ---------------
-        parts: list[DataFrame] = []
+        acc: DataFrame | None = None  # folded union of per-level δ tables
         delta_above: DataFrame | None = None  # (seed, v, delta) at level d+1
         for lvl in range(depth - 1, -1, -1):
             t0 = time.monotonic()
@@ -233,15 +206,23 @@ def _betweenness_shards(
             )
             met.record(2 * depth - lvl, dcur.count(), time.monotonic() - t0,
                        phase="rev")
-            parts.append(dcur.where(F.col("v") != F.col("seed")))
+            # accumulate with lineage folding — a 10⁴-level reverse sweep must
+            # not stack 10⁴ Union children into one plan (same discipline as
+            # scc's assigned accumulator)
+            part = dcur.where(F.col("v") != F.col("seed"))
+            acc = part if acc is None else acc.unionAll(part)
+            if (depth - lvl) % 16 == 0:
+                acc = acc.localCheckpoint(eager=True)
             delta_above = dcur
-    if not parts:
+    if acc is None:
         partials = spark.createDataFrame([], "v long, part double")
     else:
-        allp = parts[0]
-        for p in parts[1:]:
-            allp = allp.unionAll(p)
-        partials = allp.select("v", F.col("delta").alias("part"))
+        # with-replacement weighting: each seed's dependency vector counts
+        # once per draw (exactly what the broadcast kernel does)
+        partials = (
+            acc.join(mult, "seed")
+            .select("v", (F.col("delta") * F.col("_w")).alias("part"))
+        )
     return (
         graph.vertices()
         .join(partials.groupBy("v").agg(F.sum("part").alias("s")), "v", "left")

@@ -392,8 +392,18 @@ def bfs_csr(
 
 
 # --------------------------------------------------------------------------- DF superstep loop
-def _shard_gather(graph: GraphFrame, transposed: bool):
-    """Returns expand(frontier) → (seed, v) using co-grouped CSR-shard gathers.
+def _shard_gather(
+    graph: GraphFrame,
+    transposed: bool,
+    carry: tuple[str, ...] = (),
+    emit_source: bool = False,
+):
+    """Returns expand(frontier) → one row per traversed edge, using co-grouped
+    CSR-shard gathers. Default output is (seed, v); ``emit_source=True`` adds
+    the edge source as ``u``, and ``carry`` names extra DOUBLE frontier
+    columns replicated onto each emitted edge (Brandes rides σ through this —
+    one kernel serves both BFS and betweenness, so fixes to the dtype rule or
+    idx arithmetic cannot silently diverge between them).
 
     The superstep's successor scan becomes: bucket the frontier by vertex
     range, co-group it with the persisted shard table (both sides hash on
@@ -410,9 +420,17 @@ def _shard_gather(graph: GraphFrame, transposed: bool):
     n = graph.num_nodes
     tdt = np.int32 if n < 2**31 else np.int64
 
+    cols = ["seed"] + (["u"] if emit_source else []) + list(carry) + ["v"]
+    schema = ", ".join(
+        f"{c} {'double' if c in carry else 'long'}" for c in cols
+    )
+
     def gather(key, fdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"seed": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
+            {
+                c: pd.Series(dtype="float64" if c in carry else "int64")
+                for c in cols
+            }
         )
         if fdf.empty or sdf.empty:
             return empty
@@ -427,12 +445,13 @@ def _shard_gather(graph: GraphFrame, transposed: bool):
             return empty
         idx = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
         idx += np.arange(total, dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "seed": np.repeat(fdf["seed"].to_numpy(dtype=np.int64), counts),
-                "v": targets[idx].astype(np.int64),
-            }
-        )
+        out = {"seed": np.repeat(fdf["seed"].to_numpy(dtype=np.int64), counts)}
+        if emit_source:
+            out["u"] = np.repeat(fdf["v"].to_numpy(dtype=np.int64), counts)
+        for c in carry:
+            out[c] = np.repeat(fdf[c].to_numpy(dtype=np.float64), counts)
+        out["v"] = targets[idx].astype(np.int64)
+        return pd.DataFrame(out)
 
     def expand(frontier: DataFrame) -> DataFrame:
         fb = frontier.withColumn("bucket", F.floor(F.col("v") / bsz).cast("long"))
@@ -445,7 +464,7 @@ def _shard_gather(graph: GraphFrame, transposed: bool):
         return (
             fb.groupBy("bucket")
             .cogroup(sh.groupBy("bucket"))
-            .applyInPandas(gather, schema="seed long, v long")
+            .applyInPandas(gather, schema=schema)
         )
 
     return expand

@@ -161,15 +161,17 @@ def link_prediction_scores(
     vertex, then an anti-join against existing edges. Wedge volume is
     Σ deg(middle)² — quadratic in hub degree, so at scale pass
     ``max_middle_degree`` to drop super-hub middles (the standard cap: a hub
-    shared by everyone carries ~zero Adamic–Adar signal anyway, 1/ln(d)→0;
-    changes results, leave None for oracle parity).
+    shared by everyone carries ~zero Adamic–Adar signal anyway, 1/ln(d)→0).
+    The cap CHANGES results, so engine and oracle must agree on it — the
+    driver query `eg_link_prediction` passes ``_LP_MAX_MID`` and its DuckDB
+    oracle filters middles with the same constant.
 
     ``eager=True`` (default) materializes the scores (localCheckpoint) and
     releases the cached undirected edge table before returning — repeated
     calls in a long-lived session must not leak caches. ``eager=False``
-    returns the lazy plan for composition; the caller then owns the cache:
-    unpersist via ``returned_df.sparkSession.catalog.clearCache()`` or keep
-    the default.
+    returns the lazy plan for composition; the persisted edge table then
+    stays cached for the session lifetime (the lazy plan gives the caller no
+    handle to it — accept that, or use the default).
     """
     from .triangles import canonical_edges
 

@@ -247,18 +247,28 @@ def read_offsets(basename: str, n: int, cache: bool = True) -> np.ndarray:
     path = basename + ".offsets"
     cache_file = None
     if cache:
-        import hashlib
-        import tempfile
+        # best-effort and PER-USER: a shared /tmp must neither crash the read
+        # (permission) nor let another user's planted file poison the decode
+        # — any cache trouble falls through to the real decode below
+        try:
+            import hashlib
+            import tempfile
 
-        st = os.stat(path)
-        key = hashlib.md5(
-            f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}:{n}".encode()
-        ).hexdigest()
-        cdir = os.path.join(tempfile.gettempdir(), "bvgraph_offsets_cache")
-        os.makedirs(cdir, exist_ok=True)
-        cache_file = os.path.join(cdir, key + ".npy")
-        if os.path.exists(cache_file):
-            return np.load(cache_file)
+            st = os.stat(path)
+            key = hashlib.md5(
+                f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}:{n}".encode()
+            ).hexdigest()
+            cdir = os.path.join(
+                tempfile.gettempdir(), f"bvgraph_offsets_cache_{os.getuid()}"
+            )
+            os.makedirs(cdir, mode=0o700, exist_ok=True)
+            cache_file = os.path.join(cdir, key + ".npy")
+            if os.path.exists(cache_file):
+                offs = np.load(cache_file)
+                if offs.shape == (n + 1,):
+                    return offs
+        except OSError:
+            cache_file = None
     with open(path, "rb") as f:
         r = BitReader(f.read())
     offs = np.zeros(n + 1, dtype=np.int64)
@@ -267,10 +277,13 @@ def read_offsets(basename: str, n: int, cache: bool = True) -> np.ndarray:
         acc += r.read_gamma()
         offs[i] = acc
     if cache_file is not None:
-        tmp = cache_file + f".tmp{os.getpid()}"
-        with open(tmp, "wb") as f:
-            np.save(f, offs)
-        os.replace(tmp, cache_file)  # atomic: concurrent opens see old or new
+        try:
+            tmp = cache_file + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.save(f, offs)
+            os.replace(tmp, cache_file)  # atomic: concurrent opens see old or new
+        except OSError:
+            pass  # cache write is best-effort
     return offs
 
 

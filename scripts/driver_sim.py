@@ -27,15 +27,11 @@ TABLES = [
 
 
 def _norm(df):
-    import pandas as pd
+    # the ONE canonical normalization, shared with tests/test_entry.py — the
+    # two surfaces must grade the identical mismatch surface
+    from tests.normalize import norm_result
 
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(9)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    return norm_result(df)
 
 
 def main() -> None:
@@ -54,12 +50,20 @@ def main() -> None:
 
     qs = dict(em.queries())
     oracles = dict(em.oracle_sql())
-    if args.extra:
-        qs.update(em.extra_queries())
-        oracles.update(em.extra_oracle_sql())
+    # --only may name extra-tier queries directly; unknown names are an ERROR
+    # (a typo must not produce a passing zero-query run)
+    qs.update(em.extra_queries())
+    oracles.update(em.extra_oracle_sql())
     if args.only:
         keep = set(args.only.split(","))
+        unknown = keep - set(qs)
+        if unknown:
+            ap.error(f"unknown query name(s): {sorted(unknown)}")
         qs = {k: v for k, v in qs.items() if k in keep}
+    elif not args.extra:
+        qs = dict(em.queries())
+    if not qs:
+        ap.error("no queries selected")
 
     con = duckdb.connect()
     for t in TABLES:

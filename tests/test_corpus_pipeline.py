@@ -290,4 +290,12 @@ def test_betweenness_shards_past_broadcast_cap(spark):
     assert len(got) == 200
     for v in got.index:
         assert got[v] == pytest.approx(want[v], abs=1e-6), f"v={v}"
+
+    # with-replacement semantics: DUPLICATE seeds count once per occurrence
+    # in both strategies (the shards path weights by multiplicity)
+    dup = np.array([7, 7, 42, 7], dtype=np.int64)
+    wb = betweenness(g, seeds=dup).toPandas().set_index("v")["bc"]
+    ws = betweenness(g, seeds=dup, strategy="shards").toPandas().set_index("v")["bc"]
+    for v in wb.index:
+        assert ws[v] == pytest.approx(wb[v], abs=1e-6), f"dup v={v}"
     g.unpersist()

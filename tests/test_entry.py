@@ -30,15 +30,7 @@ def ddb():
     return con
 
 
-def _norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    # canonicalize dtypes: ints -> int64, floats -> rounded float64
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(9)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+from tests.normalize import norm_result as _norm  # shared with driver_sim.py
 
 
 ORACLES = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
