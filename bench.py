@@ -115,6 +115,27 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed("scc", lambda: strongly_connected_components(g).count())
 
+    # large-diameter DIRECTED showcase (mirrors cc_chain_10k): a 10k-vertex
+    # directed cycle is ONE SCC of diameter 10^4 — the priority-order pointer
+    # jump resolves it in ~50 supersteps instead of ~2·10^4
+    def scc_cycle():
+        nch = 10_000
+        cyc_edges = spark.range(nch).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % nch).alias("dst")
+        )
+        cg = GraphFrame.from_edges(cyc_edges, num_nodes=nch, dedup=False)
+        met = SuperstepMetrics(name="scc_cycle")
+        ncomp = (
+            strongly_connected_components(cg, metrics=met)
+            .select("component").distinct().count()
+        )
+        assert ncomp == 1
+        cg.unpersist()
+        return met
+
+    scc_met = timed("scc_cycle_10k", scc_cycle)
+    extras["scc_cycle_supersteps"] = scc_met.total_supersteps
+
     from avgdist_rs_spark.operators.betweenness import betweenness
 
     # force with an AGGREGATE over the score column: .count() lets Catalyst
