@@ -254,14 +254,14 @@ def betweenness(
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
         strategy = "broadcast" if graph.num_edges <= csr_max_edges else "shards"
+    n = graph.num_nodes
+    scale = 1.0 if seeds is None else float(n) / max(1, len(seeds))
+    seeds_df = (
+        graph.vertices().select(F.col("v").alias("seed"))
+        if seeds is None
+        else _seed_batches(graph, np.asarray(seeds, dtype=np.int64))
+    )
     if strategy == "shards":
-        n = graph.num_nodes
-        scale = 1.0 if seeds is None else float(n) / max(1, len(seeds))
-        seeds_df = (
-            graph.vertices().select(F.col("v").alias("seed"))
-            if seeds is None
-            else _seed_batches(graph, np.asarray(seeds, dtype=np.int64))
-        )
         return _betweenness_shards(
             graph, seeds_df, scale, transposed, max_supersteps, metrics
         )
@@ -271,13 +271,6 @@ def betweenness(
             f"{csr_max_edges}; use strategy='shards'"
         )
     bc = graph.csr_broadcast(transposed=transposed)
-    n = graph.num_nodes
-    scale = 1.0 if seeds is None else float(n) / max(1, len(seeds))
-    seeds_df = (
-        graph.vertices().select(F.col("v").alias("seed"))
-        if seeds is None
-        else _seed_batches(graph, np.asarray(seeds, dtype=np.int64))
-    )
     if seeds is None:
         seeds_df = seeds_df.repartition(_num_partitions_for(graph.spark))
 

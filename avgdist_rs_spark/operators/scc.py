@@ -80,13 +80,6 @@ AUTO_SHORTCUT_AFTER = 4
 #: many unionAll's — bounds final-plan Union depth on deep-trim DAGs
 ASSIGNED_FOLD_EVERY = 8
 
-#: fold the loop-carried alive-edge table every this many shrink anti-joins.
-#: 1 = every shrink: between folds each ACTION re-executes the stacked
-#: anti-joins AND recomputes their lazy `dead` inputs (measured: cadence 8
-#: cost ~0.5 s/superstep extra in rebuilt broadcasts on a 240-chain);
-#: materializing the shrinking m_t once per superstep is the cheaper trade at
-#: every scale — it is bounded by the m_t scan the superstep does anyway.
-EA_FOLD_EVERY = 1
 
 
 def strongly_connected_components(
@@ -112,22 +105,22 @@ def strongly_connected_components(
     # anti-joining out vertices as they leave `alive` (dead singletons each
     # trim superstep, found SCCs each round) — every superstep scans the
     # current m_t instead of rebuilding alive⋈edges⋈alive from the original
-    # m₀, and phase 2 reuses the table as-is. Lineage folds every
-    # EA_FOLD_EVERY shrinks (and once at each phase-2 entry).
+    # m₀, and phase 2 reuses the table as-is. Each shrink folds the lineage
+    # immediately: deferring folds makes every downstream action re-execute
+    # the stacked anti-joins AND recompute their lazy inputs (measured:
+    # cadence-8 cost ~0.5 s/superstep in rebuilt broadcasts on a 240-chain),
+    # while the materialization is bounded by the m_t scan the superstep does
+    # anyway.
     ea = graph.edges.select(
         F.col("src").alias("_s"), F.col("dst").alias("_d")
     ).localCheckpoint(eager=True)
-    ea_dirty = 0
 
     def _shrink_ea(gone: DataFrame, gone_count: int) -> None:
-        nonlocal ea, ea_dirty
+        nonlocal ea
         g = F.broadcast(gone) if gone_count <= 5_000_000 else gone
         ea = ea.join(g.select(F.col("v").alias("_s")), "_s", "anti").join(
             g.select(F.col("v").alias("_d")), "_d", "anti"
-        )
-        ea_dirty += 1
-        if ea_dirty % EA_FOLD_EVERY == 0:
-            ea = ea.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
 
     def _record(rows: int, t0: float) -> int:
         nonlocal step
@@ -243,11 +236,11 @@ def strongly_connected_components(
                 if n_keep == n_alive:
                     _record(0, t0)
                     break
-                # dead derives from two checkpointed frames — lineage stays
-                # shallow; the accumulator itself is folded on its own cadence
+                # materialize once — both the accumulator union and the ea
+                # shrink consume it
                 dead = alive.join(keep, "v", "anti").select(
                     "v", F.col("v").alias("component")
-                )
+                ).localCheckpoint(eager=True)
                 _accumulate(dead)
                 _shrink_ea(dead.select("v"), n_alive - n_keep)
                 alive, n_alive = keep, n_keep
@@ -255,7 +248,6 @@ def strongly_connected_components(
         if n_alive == 0:
             break
         # ---- phase 2: one coloring round on the cyclic remainder -----------
-        ea = ea.localCheckpoint(eager=True)  # materialize for the fixpoints
         color0 = alive.select("v", F.col("v").alias("color")).localCheckpoint(eager=True)
         steps_before = step
         color = _max_prop_fixpoint(color0, ea, "_s", "_d", "color")

@@ -48,22 +48,18 @@ def main() -> None:
 
     import __spark_entry__ as em
 
-    qs = dict(em.queries())
-    oracles = dict(em.oracle_sql())
-    # --only may name extra-tier queries directly; unknown names are an ERROR
-    # (a typo must not produce a passing zero-query run)
-    qs.update(em.extra_queries())
-    oracles.update(em.extra_oracle_sql())
+    qs_all = {**em.queries(), **em.extra_queries()}
+    oracles = {**em.oracle_sql(), **em.extra_oracle_sql()}
     if args.only:
+        # --only may name extra-tier queries directly; unknown names are an
+        # ERROR (a typo must not produce a passing zero-query run)
         keep = set(args.only.split(","))
-        unknown = keep - set(qs)
+        unknown = keep - set(qs_all)
         if unknown:
             ap.error(f"unknown query name(s): {sorted(unknown)}")
-        qs = {k: v for k, v in qs.items() if k in keep}
-    elif not args.extra:
-        qs = dict(em.queries())
-    if not qs:
-        ap.error("no queries selected")
+        qs = {k: v for k, v in qs_all.items() if k in keep}
+    else:
+        qs = qs_all if args.extra else dict(em.queries())
 
     con = duckdb.connect()
     for t in TABLES:
