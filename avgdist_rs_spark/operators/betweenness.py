@@ -120,7 +120,13 @@ def _betweenness_shards(
     metrics: SuperstepMetrics | None,
 ) -> DataFrame:
     """Lockstep sharded Brandes (module docstring): forward σ-BFS supersteps,
-    then a per-level reverse δ sweep re-gathering tree edges from the shards."""
+    then a per-level reverse δ sweep re-gathering tree edges from the shards.
+
+    State is the (seed, v, dist, σ) visited table — O(Σ per-seed reach) rows,
+    the same scale contract as ``bfs_frontier``. That makes SAMPLED mode
+    (k seeds) the intended use past the broadcast cap; exact mode
+    (``seeds=None``) over shards carries O(n·reach) state and is only
+    sensible on small graphs (tests) or very shallow reach."""
     spark = graph.spark
     met = metrics if metrics is not None else SuperstepMetrics(name="betweenness")
     ckpt = Checkpointer(spark, name="betweenness", every=4)
