@@ -93,3 +93,44 @@ def test_triangles_match_networkx(spark, seed):
     want = sum(nx.triangles(nxg).values()) // 3
     assert triangle_count(g) == want
     g.unpersist()
+
+
+@pytest.mark.parametrize("seed,density", [(9, 1.6), (10, 2.5), (11, 0.8)])
+def test_scc_matches_networkx_random_digraphs(spark, seed, density):
+    """Priority-order pointer-jump SCC on arbitrary random digraphs (dense
+    cores, DAG tails, self-loops, isolated vertices, multi-edges) — the r4
+    rewrite's trickiest math, swept at varying densities vs networkx."""
+    from avgdist_rs_spark.operators.scc import strongly_connected_components
+
+    g, pairs = random_graph(spark, seed, density=density)
+    got = {r["v"]: r["component"] for r in strongly_connected_components(g).collect()}
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(range(g.num_nodes))
+    nxg.add_edges_from(map(tuple, pairs))
+    assert set(got) == set(range(g.num_nodes))
+    for comp in nx.strongly_connected_components(nxg):
+        mn = min(comp)
+        for v in comp:
+            assert got[v] == mn, f"seed={seed} v={v}"
+    g.unpersist()
+
+
+@pytest.mark.parametrize("seed", [12, 13])
+def test_betweenness_strategies_match_networkx_random(spark, seed):
+    """Broadcast-numpy and sharded-lockstep Brandes vs networkx on random
+    digraphs, exact mode — σ>1 path diamonds occur naturally at this density."""
+    from avgdist_rs_spark.operators.betweenness import betweenness
+
+    g, pairs = random_graph(spark, seed, n=60, density=2.0)
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(range(g.num_nodes))
+    nxg.add_edges_from((a, b) for a, b in map(tuple, pairs) if a != b)
+    want = nx.betweenness_centrality(nxg, normalized=False)
+    for strat in ("broadcast", "shards"):
+        got = {
+            r["v"]: r["bc"]
+            for r in betweenness(g, strategy=strat).collect()
+        }
+        for v in range(g.num_nodes):
+            assert got[v] == pytest.approx(want[v], abs=1e-6), f"{strat} v={v}"
+    g.unpersist()
