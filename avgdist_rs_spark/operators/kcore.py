@@ -18,6 +18,13 @@ and the alive set shrinks monotonically), then one count aggregate per
 vertex. Convergence = alive count unchanged (one scalar per superstep, the
 same cadence every other fixpoint here uses). Lineage is cut every
 superstep via the shared Checkpointer.
+
+NOT loop-carried like ``scc``'s alive-edge table — measured (round 4,
+sf0.1): k-core peels are SHALLOW (few supersteps), so the upfront shrink
+materialization costs more than the per-superstep rebuild it saves
+(0.95 s → 1.7 s warm). The loop-carry pays off only on deep peel chains
+(SCC trim); here the semi-join rebuild against the persisted symmetric
+table is the better trade.
 """
 
 from __future__ import annotations
