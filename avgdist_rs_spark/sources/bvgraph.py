@@ -262,12 +262,20 @@ def read_offsets(basename: str, n: int, cache: bool = True) -> np.ndarray:
                 tempfile.gettempdir(), f"bvgraph_offsets_cache_{os.getuid()}"
             )
             os.makedirs(cdir, mode=0o700, exist_ok=True)
+            # makedirs(exist_ok=True) succeeds on a pre-existing dir we do
+            # NOT own (another tenant squatting the name) — verify ownership
+            # or disable caching entirely for this open
+            if os.stat(cdir).st_uid != os.getuid():
+                raise OSError("cache dir owned by another uid")
             cache_file = os.path.join(cdir, key + ".npy")
             if os.path.exists(cache_file):
                 offs = np.load(cache_file)
-                if offs.shape == (n + 1,):
+                if offs.shape == (n + 1,) and offs.dtype == np.int64:
                     return offs
-        except OSError:
+        except Exception:
+            # ANY cache trouble (permission, truncated/corrupt .npy →
+            # ValueError/EOFError, foreign dir) falls through to the real
+            # decode — the cache is an accelerator, never a dependency
             cache_file = None
     with open(path, "rb") as f:
         r = BitReader(f.read())

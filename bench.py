@@ -2,10 +2,12 @@
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
-     SPARK_GRAFT_RUNS   (default 1) — run the whole suite N times and report
+     SPARK_GRAFT_RUNS   (default 3) — run the whole suite N times and report
      per-query MEDIANS (the committed BENCH.md headline is runs=3 of exactly
-     this command, so the driver's single run and the headline are the same
-     measurement up to shared-box noise).
+     this command, so the driver's run and the headline are the same
+     measurement up to shared-box noise). The JSON also carries
+     ``loadavg_before``/``loadavg_after`` (1-min load average) so a
+     contended run on this shared box is self-labeling.
 
 Covers the north-rule workloads (graph build, PageRank supersteps, connected
 components — including a 10k-vertex chain exercising the pointer-jumping
@@ -294,7 +296,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "1"))
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import SparkSession
@@ -314,6 +316,8 @@ def main() -> None:
 
     all_timings: list[dict] = []
     all_extras: list[dict] = []
+    load_before = round(os.getloadavg()[0], 2)
+    per_run_loads: list[float] = []
     for _ in range(runs):
         # fresh caches each run so graph_build is really measured
         for gf in list(em._CACHE.values()):
@@ -323,6 +327,7 @@ def main() -> None:
         t, e = run_suite(spark, sf_dir)
         all_timings.append(t)
         all_extras.append(e)
+        per_run_loads.append(round(os.getloadavg()[0], 2))
 
     timings = {
         k: round(statistics.median(t[k] for t in all_timings), 3) for k in all_timings[0]
@@ -346,6 +351,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "runs": runs,
+        "loadavg_before": load_before,
+        "loadavg_after": per_run_loads[-1],
+        "loadavg_per_run": per_run_loads,
         **extras,
     }
     if queries_10x:
