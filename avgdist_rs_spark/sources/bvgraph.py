@@ -233,6 +233,206 @@ def decode_range(
     return np.concatenate(srcs), np.concatenate(dsts)
 
 
+def _decode_gamma_window(
+    data: bytes, count: int, start_bit: int = 0, K: int = 4096
+) -> tuple[np.ndarray, int]:
+    """Decode up to ``count`` γ-codes from one window, speculatively parallel.
+
+    Returns ``(values, next_bit)`` where ``next_bit`` is the bit position of
+    the first *undecoded* code (== the end of the last decoded code). Fewer
+    than ``count`` values means the window was exhausted — the caller resumes
+    in the next window at ``next_bit``. Codes whose 8-byte value window would
+    run past the buffer are never emitted (the caller re-reads them with more
+    context), so a mid-window stop is always at a true code boundary.
+
+    Algorithm (all-numpy except a few codes per block):
+
+    1. one-bit positions via ``np.unpackbits`` + ``np.flatnonzero``;
+    2. split the bitstream into K blocks and run K *speculative* decode
+       chains in lockstep — each step advances every chain by one code using
+       the γ successor rule ``next_start = 2*o - s + 1`` (``o`` = the first
+       one-bit at/after ``s``), with per-chain monotone pointers into the
+       ones array, recording each chain's (start, middle-one) trail;
+    3. stitch: walk the true chain from the window entry; inside each block,
+       scalar-decode only until hitting a position on that block's
+       speculative trail (γ-streams self-synchronize — measured median 4
+       codes, p99 < 20), then splice the rest of the block's trail
+       wholesale;
+    4. extract all values vectorized: one 8-byte big-endian gather per code,
+       shift/mask out the ``z`` trailing bits, ``v = ((1<<z)|bits) - 1``.
+
+    Gotcha encoded in the ``np.int32(...)`` needles: ``np.searchsorted`` with
+    a Python-int needle promotes the whole haystack to int64 — one 52 MB
+    copy per call on a 13 M-entry ones array (measured 60 s of the original
+    65 s wall at 4 M codes).
+    """
+    if count <= 0:
+        return np.empty(0, dtype=np.int64), start_bit
+    barr = np.frombuffer(data, dtype=np.uint8)
+    bits = np.unpackbits(barr)
+    L = bits.shape[0]
+    if L >= (1 << 30):
+        raise ValueError("window too large for int32 positions")
+    ones = np.flatnonzero(bits).astype(np.int32)
+    del bits
+    n_ones = ones.shape[0]
+    if n_ones == 0 or int(ones[-1]) < start_bit:
+        return np.empty(0, dtype=np.int64), start_bit
+    last_one = int(ones[-1])
+    K = max(1, min(K, count))
+    bs = -(-L // K)
+    bounds = np.minimum(np.arange(1, K + 1, dtype=np.int64) * bs, L).astype(np.int32)
+    pos = np.minimum(np.arange(K, dtype=np.int64) * bs, L).astype(np.int32)
+    jdx = np.minimum(np.searchsorted(ones, pos), n_ones - 1).astype(np.int64)
+    cap = np.int64(n_ones - 1)
+    SENT = np.int32(L)
+
+    vis_pos: list[np.ndarray] = []
+    vis_mid: list[np.ndarray] = []
+    active = (pos < bounds) & (pos <= last_one)
+    while active.any():
+        # advance each chain's ones-pointer past value-part one-bits
+        while True:
+            behind = active & (ones[np.minimum(jdx, cap)] < pos)
+            if not behind.any():
+                break
+            jdx += behind
+            over = jdx > cap
+            if over.any():
+                active &= ~over
+                jdx = np.minimum(jdx, cap)
+        o = ones[np.minimum(jdx, cap)]
+        vis_pos.append(pos.copy())
+        vis_mid.append(np.where(active, o, SENT))
+        stepped = np.minimum((o - pos + 1) + o, SENT)  # 2*o - pos + 1
+        pos = np.where(active, stepped, pos)
+        active = (pos < bounds) & (pos <= last_one)
+    vis_pos.append(pos.copy())
+    # contiguous per-chain rows: column slices during stitching would gather
+    # across the whole (steps x K) matrix per binary search otherwise
+    P = np.ascontiguousarray(np.stack(vis_pos).T)  # (K, steps+1), rows non-decr
+    M = (
+        np.ascontiguousarray(np.stack(vis_mid).T)
+        if vis_mid
+        else np.empty((K, 0), np.int32)
+    )
+    starts_parts: list[np.ndarray] = []
+    mids_parts: list[np.ndarray] = []
+    e, total = start_bit, 0
+    while total < count and e <= last_one:
+        k = e // bs
+        if k >= K:
+            break
+        row = P[k]
+        hi_b = int(bounds[k])
+        n_in = int(np.searchsorted(row, np.int32(hi_b), side="left"))
+        seg_s: list[int] = []
+        seg_m: list[int] = []
+        jj = int(np.searchsorted(ones, np.int32(e)))
+        synced = False
+        while e < hi_b and e <= last_one and total + len(seg_s) < count:
+            i0 = int(np.searchsorted(row[:n_in], np.int32(e), side="left"))
+            if i0 < n_in and int(row[i0]) == e and n_in <= M.shape[1]:
+                take = min(n_in - i0, count - total - len(seg_s))
+                starts_parts.append(np.asarray(seg_s, dtype=np.int64))
+                mids_parts.append(np.asarray(seg_m, dtype=np.int64))
+                total += len(seg_s)
+                starts_parts.append(row[i0 : i0 + take].astype(np.int64))
+                mids_parts.append(M[k, i0 : i0 + take].astype(np.int64))
+                total += take
+                if take < n_in - i0:
+                    e = int(row[i0 + take])
+                else:
+                    e = int(row[n_in]) if n_in < row.shape[0] else L
+                synced = True
+                break
+            while jj < n_ones and int(ones[jj]) < e:
+                jj += 1
+            if jj >= n_ones:
+                break
+            o = int(ones[jj])
+            seg_s.append(e)
+            seg_m.append(o)
+            e = 2 * o - e + 1
+        if not synced:
+            starts_parts.append(np.asarray(seg_s, dtype=np.int64))
+            mids_parts.append(np.asarray(seg_m, dtype=np.int64))
+            total += len(seg_s)
+    if total == 0:
+        return np.empty(0, dtype=np.int64), start_bit
+    starts = np.concatenate(starts_parts)[:total]
+    mids = np.concatenate(mids_parts)[:total]
+    zs = mids - starts
+    # drop trailing codes whose value bits run past the buffer — the caller
+    # re-decodes them at the start of the next window
+    ends = mids + zs + 1
+    n_ok = int(np.searchsorted(ends, np.int64(L), side="right"))
+    if n_ok < total:
+        starts, mids, zs, ends = starts[:n_ok], mids[:n_ok], zs[:n_ok], ends[:n_ok]
+        if n_ok == 0:
+            return np.empty(0, dtype=np.int64), start_bit
+        e = int(ends[-1])
+    cnt = starts.shape[0]
+    maxz = int(zs.max())
+    if maxz > 56:
+        raise ValueError(f"gamma code too long for 8-byte window (z={maxz})")
+    pad = np.concatenate([barr, np.zeros(8, dtype=np.uint8)])
+    first = mids + 1
+    b0 = first >> 3
+    bit_off = (first & 7).astype(np.uint64)
+    w = np.zeros(cnt, dtype=np.uint64)
+    for i in range(8):
+        w = (w << np.uint64(8)) | pad[b0 + i].astype(np.uint64)
+    zs_u = zs.astype(np.uint64)
+    trail = (w >> (np.uint64(64) - bit_off - zs_u)) & (
+        (np.uint64(1) << zs_u) - np.uint64(1)
+    )
+    vals = ((np.int64(1) << zs) | trail.astype(np.int64)) - 1
+    next_bit = int(ends[-1]) if cnt else start_bit
+    return vals, next_bit
+
+
+def decode_gamma_stream(
+    data: bytes, count: int, window_bytes: int = 1 << 26
+) -> np.ndarray:
+    """Decode ``count`` consecutive γ-codes (WebGraph natural-number
+    convention, MSB-first) from ``data`` — speculatively parallel numpy.
+
+    Windows the stream so arbitrarily long inputs decode in bounded memory
+    (int32 positions per window); each window resumes at the exact code
+    boundary the previous one stopped at. ~4.6 M codes/s measured on a
+    4 M-code stream (~3x the BitReader loop, and the constant keeps paying:
+    everything except a ~4-code-per-block sync walk is vectorized).
+    Bit-identical to ``BitReader.read_gamma`` (tested on random streams and
+    the reference's shipped ``.offsets`` files).
+    """
+    if count <= 0:
+        return np.empty(0, dtype=np.int64)
+    out: list[np.ndarray] = []
+    got = 0
+    byte0 = 0
+    bit_in_byte = 0
+    n_bytes = len(data)
+    while got < count:
+        sub = data[byte0 : byte0 + window_bytes]
+        vals, next_bit = _decode_gamma_window(sub, count - got, bit_in_byte)
+        if vals.shape[0] == 0:
+            if byte0 + window_bytes >= n_bytes:
+                raise ValueError(
+                    f"gamma stream exhausted after {got}/{count} codes"
+                )
+            # no complete code in this window (pathological: one huge code
+            # straddling the boundary) — widen by re-reading from same spot
+            window_bytes *= 2
+            continue
+        out.append(vals)
+        got += vals.shape[0]
+        abs_bit = byte0 * 8 + next_bit
+        byte0 = abs_bit >> 3
+        bit_in_byte = abs_bit & 7
+    return np.concatenate(out) if len(out) > 1 else out[0]
+
+
 def read_offsets(basename: str, n: int, cache: bool = True) -> np.ndarray:
     """Bit offsets of each node's successor list (n+1 values): the
     ``.offsets`` sidecar is a γ-stream of gaps (WebGraph writeOffsets).
@@ -278,12 +478,8 @@ def read_offsets(basename: str, n: int, cache: bool = True) -> np.ndarray:
             # decode — the cache is an accelerator, never a dependency
             cache_file = None
     with open(path, "rb") as f:
-        r = BitReader(f.read())
-    offs = np.zeros(n + 1, dtype=np.int64)
-    acc = 0
-    for i in range(n + 1):
-        acc += r.read_gamma()
-        offs[i] = acc
+        gaps = decode_gamma_stream(f.read(), n + 1)
+    offs = np.cumsum(gaps, dtype=np.int64)
     if cache_file is not None:
         try:
             tmp = cache_file + f".tmp{os.getpid()}"

@@ -114,3 +114,57 @@ def test_distributed_reader_on_chained_references(spark):
     seq = spark.createDataFrame(pd.DataFrame({"src": s, "dst": d}))
     chk_seq = seq.agg(F.bit_xor(F.xxhash64("src", "dst")).alias("x")).collect()[0]["x"]
     assert chk_dist == chk_seq
+
+
+import numpy as np
+
+
+def _encode_gamma(values) -> bytes:
+    bb = "".join(
+        "0" * ((int(v) + 1).bit_length() - 1) + format(int(v) + 1, "b")
+        for v in values
+    )
+    pad = (-len(bb)) % 8
+    return int(bb + "0" * pad, 2).to_bytes((len(bb) + pad) // 8, "big") if bb else b""
+
+
+def test_gamma_stream_matches_bitreader_on_random_streams():
+    """Speculative parallel decoder == BitReader, including multi-window
+    resume down to 16-byte windows (every resume lands on a code boundary)."""
+    from avgdist_rs_spark.sources.bvgraph import BitReader, decode_gamma_stream
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n = int(rng.integers(1, 2500))
+        vals = (
+            rng.integers(0, 6, size=n)
+            if trial % 2
+            else rng.integers(0, 100000, size=n)
+        )
+        data = _encode_gamma(vals)
+        r = BitReader(data)
+        want = [r.read_gamma() for _ in range(n)]
+        assert want == list(vals)
+        for wb in (1 << 26, 256, 16):
+            got = decode_gamma_stream(data, n, window_bytes=wb)
+            assert got.tolist() == want, (trial, wb)
+
+
+def test_gamma_stream_truncation_raises():
+    from avgdist_rs_spark.sources.bvgraph import decode_gamma_stream
+
+    data = _encode_gamma([3, 5, 7] * 50)
+    with pytest.raises(ValueError, match="exhausted"):
+        decode_gamma_stream(data, 1000)
+
+
+def test_gamma_stream_large_values_and_zero_runs():
+    """z up to 30 (8-byte value-window path) and all-zero values (1-bit
+    codes, densest possible one-stream)."""
+    from avgdist_rs_spark.sources.bvgraph import decode_gamma_stream
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 2**30, size=20000)
+    assert decode_gamma_stream(_encode_gamma(vals), len(vals)).tolist() == list(vals)
+    zeros = [0] * 5000
+    assert decode_gamma_stream(_encode_gamma(zeros), 5000).tolist() == zeros
