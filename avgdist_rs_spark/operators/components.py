@@ -18,13 +18,19 @@ one shuffle (label exchange) + one aggregate per superstep.
 from __future__ import annotations
 
 import time
+from contextlib import nullcontext
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.graph import GraphFrame
-from ..streaming.superstep import Checkpointer, SuperstepMetrics
+from ..streaming.superstep import (
+    Checkpointer,
+    SuperstepMetrics,
+    aqe_disabled,
+    fixpoint_shuffle_partitions,
+)
 
 
 #: supersteps of plain hash-min before "auto" shortcut enables pointer jumping
@@ -77,60 +83,94 @@ def connected_components(
         eager=True
     )
 
-    # NOTE: this loop KEEPS AQE enabled — the pointer-jump self-join
-    # (labels ⋈ labels on the label key) measurably benefits from adaptive
-    # broadcast/coalesce decisions (10k-chain: ~6 s with AQE vs ~15 s without),
-    # unlike the pure fused-aggregate loops (pagerank/lp/kcore/scc).
-    for it in range(1, max_supersteps + 1):
-        t0 = time.monotonic()
-        # one fused exchange per superstep: the state row (carrying the old
-        # label for change detection) rides the SAME union as the neighbor
-        # contributions into a single groupBy — min(cand) over {own label} ∪
-        # {neighbor labels} IS least(own, neighbor-min), and max(_old) picks
-        # the state row's old label (contributions carry NULL). Replaces the
-        # former nbr_min groupBy + labels left-join (two stages) with one.
-        contrib = labels.join(sym, labels.v == F.col("_esrc")).select(
-            F.col("_edst").alias("v"),
-            F.col("component").alias("cand"),
-            F.lit(None).cast("long").alias("_prev"),
-        )
-        state = labels.select(
-            "v", F.col("component").alias("cand"), F.col("component").alias("_prev")
-        )
-        stepped = (
-            contrib.unionAll(state)
-            .groupBy("v")
-            .agg(F.min("cand").alias("component"), F.max("_prev").alias("_old"))
-            .select("v", "_old", "component")
-        )
-        jump = shortcut is True or (shortcut == "auto" and it > AUTO_SHORTCUT_AFTER)
-        if jump:
-            # pointer jump: component ← label(component). The label table is
-            # the (small) per-vertex state, self-joined on the label key.
-            parent = stepped.select(
-                F.col("v").alias("_pv"), F.col("component").alias("_pc")
-            )
-            stepped = (
-                stepped.join(parent, stepped.component == F.col("_pv"), "left")
-                .select(
-                    "v",
-                    "_old",
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
-                    ).alias("component"),
+    # NOTE: at session shuffle width this loop KEEPS AQE enabled — the
+    # pointer-jump self-join (labels ⋈ labels on the label key) measurably
+    # benefits from adaptive broadcast/coalesce decisions (10k-chain at
+    # width 32: ~6 s with AQE vs ~15 s without), unlike the pure
+    # fused-aggregate loops (pagerank/lp/kcore/scc). The shuffle width
+    # itself is scoped to the exchange volume (never above the session
+    # value); once the scoped width is narrow (≤8) AQE flips to a net cost —
+    # nothing left to coalesce, still per-superstep re-planning (measured at
+    # width 4: ~3.4 s without vs ~3.8 s with) — so narrow loops disable it.
+    with fixpoint_shuffle_partitions(
+        spark, max(graph.num_nodes, graph.num_edges)
+    ):
+        narrow = int(spark.conf.get("spark.sql.shuffle.partitions")) <= 8
+        aqe_ctx = aqe_disabled(spark) if narrow else nullcontext()
+        with aqe_ctx:
+            for it in range(1, max_supersteps + 1):
+                t0 = time.monotonic()
+                # one fused exchange per superstep: the state row (carrying the old
+                # label for change detection) rides the SAME union as the neighbor
+                # contributions into a single groupBy — min(cand) over {own label} ∪
+                # {neighbor labels} IS least(own, neighbor-min), and max(_old) picks
+                # the state row's old label (contributions carry NULL). Replaces the
+                # former nbr_min groupBy + labels left-join (two stages) with one.
+                contrib = labels.join(sym, labels.v == F.col("_esrc")).select(
+                    F.col("_edst").alias("v"),
+                    F.col("component").alias("cand"),
+                    F.lit(None).cast("long").alias("_prev"),
                 )
-            )
-        stepped = ckpt.step(stepped, it, wall_s=time.monotonic() - t0)
-        changed = int(
-            stepped.agg(
-                F.sum((F.col("component") != F.col("_old")).cast("long")).alias("n")
-            ).collect()[0]["n"]
-            or 0
-        )
-        met.record(it, changed, time.monotonic() - t0)
-        labels = stepped.drop("_old")
-        if changed == 0:
-            break
+                state = labels.select(
+                    "v", F.col("component").alias("cand"), F.col("component").alias("_prev")
+                )
+                stepped = (
+                    contrib.unionAll(state)
+                    .groupBy("v")
+                    .agg(F.min("cand").alias("component"), F.max("_prev").alias("_old"))
+                    .select("v", "_old", "component")
+                )
+                jump = shortcut is True or (shortcut == "auto" and it > AUTO_SHORTCUT_AFTER)
+                if jump:
+                    # pointer jump: component ← label(component), applied TWICE
+                    # per superstep — two chained dereferences of the same
+                    # (pre-step) label map triple pointer depth per superstep
+                    # (d → 3d) instead of doubling it, cutting a 10^4-chain
+                    # from ~16 supersteps to ~12 for one extra cheap self-join
+                    # (the per-superstep fixed cost dominates the extra join
+                    # at narrow shuffle width). The label table is the (small)
+                    # per-vertex state, self-joined on the label key.
+                    # INNER joins: every component value is the min of some
+                    # vertex-id set, hence itself a key in `stepped`.
+                    parent = stepped.select(
+                        F.col("v").alias("_pv"), F.col("component").alias("_pc")
+                    )
+                    once = (
+                        stepped.join(parent, stepped.component == F.col("_pv"))
+                        .select(
+                            "v",
+                            "_old",
+                            F.least(
+                                F.col("component"), F.col("_pc")
+                            ).alias("component"),
+                        )
+                    )
+                    parent2 = stepped.select(
+                        F.col("v").alias("_qv"), F.col("component").alias("_qc")
+                    )
+                    stepped = (
+                        once.join(parent2, once.component == F.col("_qv"))
+                        .select(
+                            "v",
+                            "_old",
+                            F.least(
+                                F.col("component"), F.col("_qc")
+                            ).alias("component"),
+                        )
+                    )
+                # lazy checkpoint: the convergence aggregate below is the
+                # materializing action — one Spark job per superstep instead of two
+                stepped = ckpt.step(stepped, it, wall_s=time.monotonic() - t0, lazy=True)
+                changed = int(
+                    stepped.agg(
+                        F.sum((F.col("component") != F.col("_old")).cast("long")).alias("n")
+                    ).collect()[0]["n"]
+                    or 0
+                )
+                met.record(it, changed, time.monotonic() - t0)
+                labels = stepped.drop("_old")
+                if changed == 0:
+                    break
     sym.unpersist()
     return labels
 

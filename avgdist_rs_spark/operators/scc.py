@@ -69,6 +69,7 @@ from ..streaming.superstep import (
     SuperstepMetrics,
     aqe_disabled,
     aqe_enabled,
+    fixpoint_shuffle_partitions,
 )
 
 #: color supersteps per round before "auto" enables pointer jumping (mirrors
@@ -149,19 +150,31 @@ def strongly_connected_components(
         return F.struct(F.xxhash64(col).alias("h"), col.alias("w"))
 
     def _max_prop_fixpoint(state0: DataFrame, edge_tbl: DataFrame,
-                           src_col: str, dst_col: str, label: str) -> DataFrame:
+                           src_col: str, dst_col: str, label: str,
+                           force_jump: bool = False) -> DataFrame:
         """Priority-max label propagation along ``src_col → dst_col`` of
         ``edge_tbl`` to fixpoint, with monotone pointer jumping per
         ``shortcut``. ``state0`` is (v, <label>); returns the converged
-        (v, <label>) where <label> = the priority-max vertex reaching v."""
+        (v, <label>) where <label> = the priority-max vertex reaching v.
+        ``force_jump`` skips the plain warm-up supersteps — used by the
+        rcolor pass, which only runs once the coloring has already proven
+        the diameter large."""
         nonlocal step
         state = state0
         it = 0
         while True:
             it += 1
             t0 = time.monotonic()
-            jump = shortcut is True or (shortcut == "auto" and it > AUTO_SHORTCUT_AFTER)
-            with (aqe_enabled if jump else aqe_disabled)(spark):
+            jump = (
+                force_jump
+                or shortcut is True
+                or (shortcut == "auto" and it > AUTO_SHORTCUT_AFTER)
+            )
+            # jump supersteps want AQE only at session shuffle width; once
+            # the loop-scoped width is narrow (≤8) AQE is pure re-planning
+            # cost (see components.connected_components)
+            wide = int(spark.conf.get("spark.sql.shuffle.partitions")) > 8
+            with (aqe_enabled if (jump and wide) else aqe_disabled)(spark):
                 contrib = state.join(
                     edge_tbl, state.v == F.col(src_col)
                 ).select(
@@ -182,10 +195,15 @@ def strongly_connected_components(
                     # monotone shortcut: adopt your label's own label — sound
                     # because reachability composes; labels now travel 2^k hops
                     # in k supersteps (same recipe as components.py)
+                    # applied TWICE per superstep: two chained dereferences of
+                    # the same pre-step label map grow pointer depth ~3x per
+                    # superstep instead of 2x — one extra cheap self-join vs
+                    # several whole supersteps of fixed cost (see
+                    # components.py; 10k directed cycle: 50 → ~36 supersteps)
                     parent = stepped.select(
                         F.col("v").alias("_pv"), F.col(label).alias("_pc")
                     )
-                    stepped = stepped.join(
+                    once = stepped.join(
                         parent, stepped[label] == F.col("_pv"), "left"
                     ).select(
                         "v",
@@ -200,7 +218,24 @@ def strongly_connected_components(
                         )
                         .alias(label),
                     )
-                stepped = ckpt.step(stepped, step + 1)
+                    parent2 = stepped.select(
+                        F.col("v").alias("_qv"), F.col(label).alias("_qc")
+                    )
+                    stepped = once.join(
+                        parent2, once[label] == F.col("_qv"), "left"
+                    ).select(
+                        "v",
+                        "_old",
+                        F.when(F.col("_qc").isNull(), F.col(label))
+                        .otherwise(
+                            F.greatest(
+                                _pri(F.col(label)), _pri(F.col("_qc"))
+                            ).getField("w")
+                        )
+                        .alias(label),
+                    )
+                # lazy: the convergence aggregate is the materializing action
+                stepped = ckpt.step(stepped, step + 1, lazy=True)
                 changed = int(
                     stepped.agg(
                         F.sum((F.col(label) != F.col("_old")).cast("long"))
@@ -218,123 +253,130 @@ def strongly_connected_components(
                     f"max_supersteps={max_supersteps}; raise the budget"
                 )
 
-    for _round in range(1, max_rounds + 1):
-        if n_alive == 0:
-            break
-        # ---- phase 1: trim fixpoint (singleton SCCs) -----------------------
-        with aqe_disabled(spark):
-            while n_alive > 0:
-                t0 = time.monotonic()
-                # a vertex survives iff it has ≥1 out-edge AND ≥1 in-edge in
-                # the alive-edge table (ea endpoints are alive by invariant)
-                keep = (
-                    alive.join(ea.select(F.col("_s").alias("v")).distinct(), "v", "semi")
-                    .join(ea.select(F.col("_d").alias("v")).distinct(), "v", "semi")
-                )
-                keep = keep.localCheckpoint(eager=True)
-                n_keep = keep.count()
-                if n_keep == n_alive:
-                    _record(0, t0)
-                    break
-                # materialize once — both the accumulator union and the ea
-                # shrink consume it
-                dead = alive.join(keep, "v", "anti").select(
-                    "v", F.col("v").alias("component")
-                ).localCheckpoint(eager=True)
-                _accumulate(dead)
-                _shrink_ea(dead.select("v"), n_alive - n_keep)
-                alive, n_alive = keep, n_keep
-                _record(n_alive, t0)
-        if n_alive == 0:
-            break
-        # ---- phase 2: one coloring round on the cyclic remainder -----------
-        color0 = alive.select("v", F.col("v").alias("color")).localCheckpoint(eager=True)
-        steps_before = step
-        color = _max_prop_fixpoint(color0, ea, "_s", "_d", "color")
-        color = color.persist(StorageLevel.MEMORY_AND_DISK)
-        color.count()
-        color_steps = step - steps_before
-        large_diameter = shortcut is True or (
-            shortcut == "auto" and color_steps > AUTO_SHORTCUT_AFTER
-        )
-        if large_diameter:
-            # ---- backward membership as a second max-propagation ----------
-            # class-restricted edges (SCC paths never leave the color class)
-            eac = (
-                ea.join(
-                    color.select(F.col("v").alias("_s"), F.col("color").alias("_sc")),
-                    "_s",
-                )
-                .join(
-                    color.select(F.col("v").alias("_d"), F.col("color").alias("_dc")),
-                    "_d",
-                )
-                .where(F.col("_sc") == F.col("_dc"))
-                .select("_s", "_d")
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            eac.count()
-            r0 = color.select("v", F.col("v").alias("rcolor")).localCheckpoint(
-                eager=True
-            )
-            # propagate along REVERSED edges: rcolor(v) = max vertex reachable
-            # from v within its class (contribution flows successor → source)
-            rcolor = _max_prop_fixpoint(r0, eac, "_d", "_s", "rcolor")
-            mem = (
-                rcolor.join(color, "v")
-                .where(F.col("rcolor") == F.col("color"))
-                .select("v", "color")
-                .localCheckpoint(eager=True)
-            )
-            eac.unpersist()
-        else:
-            # ---- backward frontier from each pivot within its class -------
-            # work proportional to the found SCCs, right for small diameters
-            mem = color.where(F.col("v") == F.col("color")).select("v", "color")
-            mem = mem.localCheckpoint(eager=True)
-            frontier = mem
+    # shuffle width scoped to the exchange volume (≤ the session value):
+    # phase-1 trims and phase-2 fixpoints exchange at most m_t ≤ m rows
+    with fixpoint_shuffle_partitions(
+        spark, max(graph.num_nodes, graph.num_edges)
+    ):
+        for _round in range(1, max_rounds + 1):
+            if n_alive == 0:
+                break
+            # ---- phase 1: trim fixpoint (singleton SCCs) -----------------------
             with aqe_disabled(spark):
-                while True:
+                while n_alive > 0:
                     t0 = time.monotonic()
-                    preds = (
-                        frontier.join(ea, frontier.v == F.col("_d"))
-                        .select(F.col("_s").alias("v"), "color")
-                        .distinct()
-                        .join(
-                            color.select(
-                                F.col("v").alias("v"), F.col("color").alias("_vc")
-                            ),
-                            "v",
-                        )
-                        .where(F.col("color") == F.col("_vc"))
-                        .select("v", "color")
+                    # a vertex survives iff it has ≥1 out-edge AND ≥1 in-edge in
+                    # the alive-edge table (ea endpoints are alive by invariant)
+                    keep = (
+                        alive.join(ea.select(F.col("_s").alias("v")).distinct(), "v", "semi")
+                        .join(ea.select(F.col("_d").alias("v")).distinct(), "v", "semi")
                     )
-                    new = preds.join(mem, ["v", "color"], "anti").localCheckpoint(
-                        eager=True
-                    )
-                    n_new = new.count()
-                    _record(n_new, t0)
-                    if n_new == 0:
+                    keep = keep.localCheckpoint(eager=False)  # count() materializes
+                    n_keep = keep.count()
+                    if n_keep == n_alive:
+                        _record(0, t0)
                         break
-                    if step >= max_supersteps:
-                        raise RuntimeError(
-                            f"scc: backward sweep not converged within "
-                            f"max_supersteps={max_supersteps}; raise the budget"
+                    # materialize once — both the accumulator union and the ea
+                    # shrink consume it
+                    dead = alive.join(keep, "v", "anti").select(
+                        "v", F.col("v").alias("component")
+                    ).localCheckpoint(eager=True)
+                    _accumulate(dead)
+                    _shrink_ea(dead.select("v"), n_alive - n_keep)
+                    alive, n_alive = keep, n_keep
+                    _record(n_alive, t0)
+            if n_alive == 0:
+                break
+            # ---- phase 2: one coloring round on the cyclic remainder -----------
+            color0 = alive.select("v", F.col("v").alias("color")).localCheckpoint(eager=True)
+            steps_before = step
+            color = _max_prop_fixpoint(color0, ea, "_s", "_d", "color")
+            color = color.persist(StorageLevel.MEMORY_AND_DISK)
+            color.count()
+            color_steps = step - steps_before
+            large_diameter = shortcut is True or (
+                shortcut == "auto" and color_steps > AUTO_SHORTCUT_AFTER
+            )
+            if large_diameter:
+                # ---- backward membership as a second max-propagation ----------
+                # class-restricted edges (SCC paths never leave the color class)
+                eac = (
+                    ea.join(
+                        color.select(F.col("v").alias("_s"), F.col("color").alias("_sc")),
+                        "_s",
+                    )
+                    .join(
+                        color.select(F.col("v").alias("_d"), F.col("color").alias("_dc")),
+                        "_d",
+                    )
+                    .where(F.col("_sc") == F.col("_dc"))
+                    .select("_s", "_d")
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                eac.count()
+                r0 = color.select("v", F.col("v").alias("rcolor")).localCheckpoint(
+                    eager=True
+                )
+                # propagate along REVERSED edges: rcolor(v) = max vertex reachable
+                # from v within its class (contribution flows successor → source)
+                rcolor = _max_prop_fixpoint(
+                    r0, eac, "_d", "_s", "rcolor", force_jump=shortcut is not False
+                )
+                mem = (
+                    rcolor.join(color, "v")
+                    .where(F.col("rcolor") == F.col("color"))
+                    .select("v", "color")
+                    .localCheckpoint(eager=True)
+                )
+                eac.unpersist()
+            else:
+                # ---- backward frontier from each pivot within its class -------
+                # work proportional to the found SCCs, right for small diameters
+                mem = color.where(F.col("v") == F.col("color")).select("v", "color")
+                mem = mem.localCheckpoint(eager=True)
+                frontier = mem
+                with aqe_disabled(spark):
+                    while True:
+                        t0 = time.monotonic()
+                        preds = (
+                            frontier.join(ea, frontier.v == F.col("_d"))
+                            .select(F.col("_s").alias("v"), "color")
+                            .distinct()
+                            .join(
+                                color.select(
+                                    F.col("v").alias("v"), F.col("color").alias("_vc")
+                                ),
+                                "v",
+                            )
+                            .where(F.col("color") == F.col("_vc"))
+                            .select("v", "color")
                         )
-                    mem = mem.unionAll(new)
-                    mem = ckpt.step(mem, step)
-                    frontier = new
-        # label each found SCC with its min member; remove from alive
-        labels = mem.groupBy("color").agg(F.min("v").alias("component"))
-        found = (
-            mem.join(labels, "color").select("v", "component").localCheckpoint(eager=True)
-        )
-        _accumulate(found)
-        prev_alive = n_alive
-        alive = alive.join(mem.select("v"), "v", "anti").localCheckpoint(eager=True)
-        n_alive = alive.count()
-        _shrink_ea(mem.select("v"), prev_alive - n_alive)
-        color.unpersist()
+                        new = preds.join(mem, ["v", "color"], "anti").localCheckpoint(
+                            eager=True
+                        )
+                        n_new = new.count()
+                        _record(n_new, t0)
+                        if n_new == 0:
+                            break
+                        if step >= max_supersteps:
+                            raise RuntimeError(
+                                f"scc: backward sweep not converged within "
+                                f"max_supersteps={max_supersteps}; raise the budget"
+                            )
+                        mem = mem.unionAll(new)
+                        mem = ckpt.step(mem, step)
+                        frontier = new
+            # label each found SCC with its min member; remove from alive
+            labels = mem.groupBy("color").agg(F.min("v").alias("component"))
+            found = (
+                mem.join(labels, "color").select("v", "component").localCheckpoint(eager=True)
+            )
+            _accumulate(found)
+            prev_alive = n_alive
+            alive = alive.join(mem.select("v"), "v", "anti").localCheckpoint(eager=True)
+            n_alive = alive.count()
+            _shrink_ea(mem.select("v"), prev_alive - n_alive)
+            color.unpersist()
     if n_alive > 0:
         raise RuntimeError(
             f"scc: {n_alive} vertices unresolved after {max_rounds} rounds"
