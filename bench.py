@@ -290,6 +290,65 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         extras["num_nodes_10x"] = g10.num_nodes
         extras["num_edges_10x"] = g10.num_edges
         g10.unpersist()
+
+        # ---- 10× pipeline family (dedup / ANN / composed pipeline) --------
+        # docs: 10 disjoint replicas, each with a per-replica VOWEL ROTATION
+        # of the text — a bijective character substitution changes every
+        # shingle containing a vowel (cross-replica Jaccard ≈ 0, so pair
+        # counts scale like 10 independent corpora) while per-doc length /
+        # shingle count / hash workload stay identical. Within a replica the
+        # near-dup structure is invariant (token renaming is bijective).
+        max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        reps10 = spark.range(10).select(F.col("id").alias("rep"))
+        docs10 = (
+            docs.crossJoin(reps10)
+            .select(
+                (F.col("doc_id") + F.col("rep") * max_doc).alias("doc_id"),
+                F.expr(
+                    "translate(text, 'aeiou', "
+                    "substring('aeiouaeiou', cast(rep % 5 as int) + 1, 5))"
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .persist()
+        )
+        docs10.count()
+        timed(
+            "10x_minhash_lsh_dedup",
+            lambda: minhash_lsh_pairs(docs10, threshold=0.8).count(),
+        )
+        timed(
+            "10x_simhash_pairs_bucketed",
+            lambda: simhash_pairs(docs10, bits=32, max_hamming=6).count(),
+        )
+        timed(
+            "10x_training_set_select",
+            lambda: training_set_select(
+                docs10, lang="en", min_quality=0.6, threshold=0.8
+            ).count(),
+        )
+        # embeddings: id-offset replicas (ANN cost is corpus-size-bound; the
+        # query set stays 32, so this isolates the scan/assignment slope)
+        max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+        emb10 = (
+            emb.crossJoin(reps10)
+            .select(
+                (F.col("vec_id") + F.col("rep") * max_vec).alias("vec_id"),
+                "embedding",
+            )
+            .persist()
+        )
+        emb10.count()
+        timed(
+            "10x_ivf_ann",
+            lambda: ivf_ann(
+                emb10, k=10, num_queries=32, num_centroids=16, nprobe=4
+            ).count(),
+        )
+        docs10.unpersist()
+        emb10.unpersist()
     return timings, extras
 
 
