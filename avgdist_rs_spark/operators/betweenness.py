@@ -111,6 +111,19 @@ def _shard_edge_gather(graph: GraphFrame, transposed: bool):
     return expand
 
 
+def _finalize_bc(graph: GraphFrame, partials: DataFrame, scale: float) -> DataFrame:
+    """(v, bc) from a (v, part) partial-dependency table (shared by both
+    strategies and by the exact-mode wave accumulator)."""
+    return (
+        graph.vertices()
+        .join(partials.groupBy("v").agg(F.sum("part").alias("s")), "v", "left")
+        .select(
+            "v",
+            F.round(F.coalesce(F.col("s"), F.lit(0.0)) * F.lit(scale), 6).alias("bc"),
+        )
+    )
+
+
 def _betweenness_shards(
     graph: GraphFrame,
     seeds_df: DataFrame,
@@ -118,6 +131,7 @@ def _betweenness_shards(
     transposed: bool,
     max_supersteps: int,
     metrics: SuperstepMetrics | None,
+    as_partials: bool = False,
 ) -> DataFrame:
     """Lockstep sharded Brandes (module docstring): forward σ-BFS supersteps,
     then a per-level reverse δ sweep re-gathering tree edges from the shards.
@@ -229,14 +243,9 @@ def _betweenness_shards(
             acc.join(mult, "seed")
             .select("v", (F.col("delta") * F.col("_w")).alias("part"))
         )
-    return (
-        graph.vertices()
-        .join(partials.groupBy("v").agg(F.sum("part").alias("s")), "v", "left")
-        .select(
-            "v",
-            F.round(F.coalesce(F.col("s"), F.lit(0.0)) * F.lit(scale), 6).alias("bc"),
-        )
-    )
+    if as_partials:
+        return partials
+    return _finalize_bc(graph, partials, scale)
 
 
 def betweenness(
@@ -247,13 +256,22 @@ def betweenness(
     csr_max_edges: int = DEFAULT_CSR_MAX_EDGES,
     max_supersteps: int = 10_000,
     metrics: SuperstepMetrics | None = None,
+    exact_wave_seeds: int = 4096,
 ) -> DataFrame:
     """(v, bc) — directed, unnormalized betweenness. ``seeds=None`` → exact
     (every vertex a source); an array of sources → the sampled approximation
     scaled by n/k (unbiased estimator of the exact score). ``strategy``:
     "broadcast" (seed-parallel numpy over broadcast CSR), "shards" (lockstep
     supersteps over the distributed shard table — no broadcast, no cap), or
-    "auto" = broadcast until ``csr_max_edges``, shards past it."""
+    "auto" = broadcast until ``csr_max_edges``, shards past it.
+
+    Exact mode over shards drains sources in WAVES of ``exact_wave_seeds``
+    through the lockstep loop, materializing each wave's (v, part)
+    dependency partials and summing across waves — per-wave state is
+    O(wave·reach) instead of the O(n·reach) a single all-sources pass would
+    carry, so exact mode scales exactly like sampled mode × n/wave passes
+    (the reference runs exact centralities on its datasets,
+    ``closeness.rs:59,68-72`` truth mode — capability parity at scale)."""
     from .bfs import _seed_batches
 
     if strategy not in ("auto", "broadcast", "shards"):
@@ -268,6 +286,30 @@ def betweenness(
         else _seed_batches(graph, np.asarray(seeds, dtype=np.int64))
     )
     if strategy == "shards":
+        if seeds is None and n > exact_wave_seeds:
+            # exact mode in seed waves: bounded per-wave state (docstring)
+            acc: DataFrame | None = None
+            for wi, w0 in enumerate(range(0, n, exact_wave_seeds), start=1):
+                wave = (
+                    graph.vertices()
+                    .where(
+                        (F.col("v") >= w0)
+                        & (F.col("v") < min(w0 + exact_wave_seeds, n))
+                    )
+                    .select(F.col("v").alias("seed"))
+                )
+                # each wave's partials are materialized once; the running
+                # union stays a shallow tree of checkpointed leaves and is
+                # itself folded every 16 waves (never re-materialized per
+                # wave — that would be O(waves²))
+                p = _betweenness_shards(
+                    graph, wave, scale, transposed, max_supersteps, metrics,
+                    as_partials=True,
+                ).localCheckpoint(eager=True)
+                acc = p if acc is None else acc.unionAll(p)
+                if wi % 16 == 0:
+                    acc = acc.localCheckpoint(eager=True)
+            return _finalize_bc(graph, acc, scale)
         return _betweenness_shards(
             graph, seeds_df, scale, transposed, max_supersteps, metrics
         )

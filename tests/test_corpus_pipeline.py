@@ -299,3 +299,25 @@ def test_betweenness_shards_past_broadcast_cap(spark):
     for v in wb.index:
         assert ws[v] == pytest.approx(wb[v], abs=1e-6), f"dup v={v}"
     g.unpersist()
+
+
+def test_betweenness_exact_shards_waves(spark):
+    """Exact mode over shards drains sources in bounded waves: with the wave
+    size forced below n, the multi-wave accumulation equals the broadcast
+    exact scores vertex-for-vertex (driver-ceiling style: csr cap forced low
+    so broadcast is unavailable to the shards run)."""
+    import pytest
+    from avgdist_rs_spark.operators.betweenness import betweenness
+    from avgdist_rs_spark.sources.fixtures import barabasi_graph
+
+    g = barabasi_graph(spark, n=120, m=2, seed=5)
+    want = betweenness(g).toPandas().set_index("v")["bc"]  # broadcast exact
+    got = (
+        betweenness(g, csr_max_edges=10, exact_wave_seeds=50)  # auto -> shards
+        .toPandas()
+        .set_index("v")["bc"]
+    )
+    assert len(got) == 120
+    for v in got.index:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), f"v={v}"
+    g.unpersist()
