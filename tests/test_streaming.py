@@ -153,3 +153,96 @@ def test_stateful_state_survives_query_restart(spark, tmp_path):
         want1[["user_id", "session_idx", "turn_idx"]],
         check_dtype=False,
     )
+
+
+def test_stateful_sessionize_across_three_plus_triggers(spark, tmp_path):
+    """The hard part of applyInPandasWithState is state RESUMPTION across
+    triggers, which a single availableNow drain of one file never exercises.
+    Slice the same fixture into 4 time-ordered files with
+    maxFilesPerTrigger=1 (≥4 micro-batches, asserted from query progress) and
+    require (a) the streamed output to equal the batch gap rule on the full
+    data, and (b) at least one session to SPAN a file boundary — i.e. its
+    turn numbering continues from state built in an earlier trigger."""
+    d = str(tmp_path / "quarters")
+    os.makedirs(d, exist_ok=True)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # Cuts must land INSIDE sessions or no state ever carries across a
+    # trigger (measured: sessions in this fixture are short bursts — every
+    # time-quartile cut fell between sessions). Take three well-separated
+    # multi-event sessions and cut between their 1st and 2nd events.
+    sess = (
+        sessionize(ev)
+        .select("user_id", "session_idx", F.unix_timestamp("ts").alias("tsu"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("tsu").alias("t0"),
+            F.get(F.sort_array(F.collect_list("tsu")), 1).alias("t1"),
+        )
+        .where((F.col("n") >= 2) & (F.col("t1") > F.col("t0")))
+        .orderBy("t0")
+        .toPandas()
+    )
+    assert len(sess) >= 3
+    picks = sess.iloc[[len(sess) // 4, len(sess) // 2, (3 * len(sess)) // 4]]
+    qs = sorted(picks["t1"].tolist())
+    assert len(set(qs)) == 3
+    cuts = [None, *qs, None]
+    tsu = F.unix_timestamp("ts")
+    for i in range(4):
+        part = ev
+        if cuts[i] is not None:
+            part = part.where(tsu >= cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.where(tsu < cuts[i + 1])
+        part.coalesce(1).write.parquet(os.path.join(d, f"batch={i}"))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    s = stream_events(spark, f"{d}/batch=*", max_files_per_trigger=1)
+    q = (
+        sessionize_stream(s)
+        .writeStream.format("memory")
+        .queryName("multi_trigger_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_batches >= 4, f"expected >=4 data micro-batches, got {n_batches}"
+
+    got = (
+        spark.table("multi_trigger_sessions")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()[["user_id", "session_idx", "turn_idx"]]
+    )
+    want = (
+        sessionize(spark.read.parquet(f"{d}/batch=*"))
+        .select("event_id", "user_id", "session_idx", "turn_idx")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()[["user_id", "session_idx", "turn_idx"]]
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # state actually carried across a trigger: some session has events on
+    # both sides of the first quartile cut (turn_idx continues, same
+    # session_idx) — otherwise this test would pass with state wiped per
+    # trigger as long as sessions happened to align with file boundaries
+    first_cut = qs[0]
+    ev_pd = (
+        ev.select("event_id", F.unix_timestamp("ts").alias("ts"))
+        .toPandas()
+        .set_index("event_id")
+    )
+    joined = got.join(ev_pd)
+    spanning = (
+        joined.groupby(["user_id", "session_idx"])["ts"]
+        .agg(["min", "max"])
+        .query("min < @first_cut and max >= @first_cut")
+    )
+    assert len(spanning) > 0, "no session spans the first file boundary"
