@@ -86,3 +86,35 @@ def test_doc_counts_match_registry():
         m = re.search(r"(\d+) driver-checked queries \+ (\d+) pytest-only", text)
         assert m, f"{doc} must carry the generated count line"
         assert (int(m.group(1)), int(m.group(2))) == (n, n_extra), doc
+
+
+def test_bench_md_committed_queries_match_bench_py():
+    """BENCH.md's committed headline JSON is a generated artifact, not prose:
+    its query keys (base and 10x blocks) must equal the `timed(...)` entry
+    names in bench.py, so the bench docs cannot drift from the suite (round-4
+    verdict item 8 — same discipline as the registry count pinning above)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    bench_src = (root / "bench.py").read_text()
+    timed_names = re.findall(r'timed\(\s*\n?\s*"([^"]+)"', bench_src)
+    assert len(timed_names) > 20, "bench.py timed() extraction broke"
+    base = {n for n in timed_names if not n.startswith("10x_")}
+    tenx = {n[4:] for n in timed_names if n.startswith("10x_")}
+
+    md = (root / "BENCH.md").read_text()
+    qm = re.search(r'"queries":\s*\{(.*?)\}', md, re.S)
+    assert qm, "BENCH.md must embed the committed headline JSON"
+    md_base = set(re.findall(r'"([a-z0-9_]+)":', qm.group(1)))
+    assert md_base == base, (
+        f"BENCH.md queries drifted: only-in-md={sorted(md_base - base)} "
+        f"only-in-bench={sorted(base - md_base)}"
+    )
+    q10 = re.search(r'"queries_10x":\s*\{(.*?)\}', md, re.S)
+    assert q10, "BENCH.md must embed the committed queries_10x block"
+    md_10 = set(re.findall(r'"([a-z0-9_]+)":', q10.group(1)))
+    assert md_10 == tenx, (
+        f"BENCH.md queries_10x drifted: only-in-md={sorted(md_10 - tenx)} "
+        f"only-in-bench={sorted(tenx - md_10)}"
+    )
