@@ -509,9 +509,13 @@ def _q_dedup_exact(spark, sf):
 def _q_jaccard_pairs(spark, sf):
     from avgdist_rs_spark.operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(_docs(spark, sf), k=3, threshold=0.8).select(
-        F.col("a").cast("long"), F.col("b").cast("long"), "jaccard"
-    )
+    # strategy="prefix": the SSJoin/PPJoin exact scale path — the driver
+    # thereby verifies the prefix-filtered join against the oracle's
+    # quadratic formulation (identical result set by the prefix theorem;
+    # pytest additionally pins prefix == "all" across thresholds)
+    return jaccard_pairs(
+        _docs(spark, sf), k=3, threshold=0.8, strategy="prefix"
+    ).select(F.col("a").cast("long"), F.col("b").cast("long"), "jaccard")
 
 
 def _q_minhash_signatures(spark, sf):

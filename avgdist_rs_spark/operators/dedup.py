@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
@@ -128,6 +128,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_freq: int | None = None,
+    strategy: str = "all",
 ) -> DataFrame:
     """Near-dup pairs (a < b) with word-k-gram Jaccard ≥ threshold.
 
@@ -135,12 +136,73 @@ def jaccard_pairs(
     the standard stop-shingle cap that keeps the self-join from going quadratic
     on boilerplate at corpus scale (changes semantics; leave None for oracle
     parity).
+
+    ``strategy="prefix"`` computes the IDENTICAL exact result through prefix
+    filtering (the SSJoin/PPJoin family — public literature: Chaudhuri et al.
+    ICDE'06, Bayardo et al. WWW'07): under any global total order on
+    shingles, two sets with J ≥ t must collide within their first
+    ``n − ⌈t·n⌉ + 1`` shingles, so the candidate join runs prefix×prefix
+    instead of shingle×shingle, and a length filter ``⌈t·n_a⌉ ≤ n_b``
+    prunes the rest before exact verification. Ordering by ascending global
+    shingle frequency (rarest first) makes prefixes collide as little as
+    possible — this is the EXACT-join scale path, complementing the
+    probabilistic MinHash-LSH one. ``strategy="all"`` keeps the quadratic
+    co-shingle baseline (the oracle shape).
     """
     sh = word_shingles(docs, k, id_col, text_col)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle")
-    return _jaccard_scores(sh).where(F.col("jaccard") >= threshold)
+    if strategy == "all":
+        return _jaccard_scores(sh).where(F.col("jaccard") >= threshold)
+    if strategy != "prefix":
+        raise ValueError(f"unknown jaccard strategy {strategy!r}")
+    return _jaccard_scores(sh, cand=_prefix_candidates(sh, threshold)).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _prefix_candidates(sh: DataFrame, t: float) -> DataFrame:
+    """Candidate (a, b) pairs that can reach Jaccard ≥ t, by prefix filter.
+
+    Exactness argument (standard): fix a total order on shingles. If sets A,
+    B (|A|=n_a, |B|=n_b) have J(A,B) ≥ t and NEITHER's first
+    ``p_x = n_x − ⌈t·n_x⌉ + 1`` elements intersect the other's prefix, then
+    each set's smallest ``p`` elements miss the intersection entirely, so
+    |A∩B| ≤ min(n_a − p_a, n_b − p_b) = min(⌈t·n_a⌉, ⌈t·n_b⌉) − 1 <
+    t·min(n_a, n_b) ≤ t·|A∪B| — contradiction. The ⌈⌉ is nudged DOWN by an
+    epsilon before ceiling so float error can only LENGTHEN a prefix
+    (supersets of the exact candidate set stay exact).
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    pfx = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "id")
+        .where(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+        )
+        .select("id", "shingle", "sz")
+    )
+    return (
+        pfx.select(F.col("id").alias("a"), "shingle", F.col("sz").alias("sa"))
+        .join(
+            pfx.select(F.col("id").alias("b"), "shingle", F.col("sz").alias("sb")),
+            "shingle",
+        )
+        .where(
+            (F.col("a") < F.col("b"))
+            # length filter: J ≥ t forces t·n_a ≤ n_b ≤ n_a/t (both directions
+            # covered because a<b is an id order, not a size order)
+            & (F.col("sb") >= F.ceil(F.lit(t) * F.col("sa") - F.lit(1e-9)))
+            & (F.col("sa") >= F.ceil(F.lit(t) * F.col("sb") - F.lit(1e-9)))
+        )
+        .select("a", "b")
+        .distinct()
+    )
 
 
 # ------------------------------------------------------------------- minhash

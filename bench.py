@@ -212,6 +212,16 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed("triangle_count", lambda: triangle_count(g))
     timed("minhash_lsh_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.8).count())
+    # exact-join scale path (SSJoin/PPJoin prefix filter): at THIS corpus size
+    # the quadratic co-shingle baseline is faster (the prefix pass pays two
+    # extra shuffles for frequency ordering) — the entry tracks the constant;
+    # the 10x twin tracks the slope, which is where prefix filtering wins
+    from avgdist_rs_spark.operators.dedup import jaccard_pairs
+
+    timed(
+        "jaccard_prefix",
+        lambda: jaccard_pairs(docs, threshold=0.8, strategy="prefix").count(),
+    )
     # aggregate the fingerprint column itself — count() over a join-free
     # projection lets the scan skip computing the hashes altogether
     timed(
@@ -328,6 +338,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
             lambda: training_set_select(
                 docs10, lang="en", min_quality=0.6, threshold=0.8
             ).count(),
+        )
+        timed(
+            "10x_jaccard_prefix",
+            lambda: jaccard_pairs(docs10, threshold=0.8, strategy="prefix").count(),
         )
         # embeddings: id-offset replicas (ANN cost is corpus-size-bound; the
         # query set stays 32, so this isolates the scan/assignment slope)

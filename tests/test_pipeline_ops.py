@@ -386,3 +386,40 @@ def test_training_set_select_semantics(spark):
     assert {r["doc_id"] for r in got} == {0}
     r = got[0]
     assert r["lang_pred"] == "en" and r["quality"] >= 0.6 and r["n_tokens"] > 0
+
+
+def test_jaccard_prefix_strategy_equals_baseline(spark):
+    """strategy="prefix" (SSJoin/PPJoin prefix filter) returns the IDENTICAL
+    exact pair set as the quadratic co-shingle baseline at several
+    thresholds, while generating a small fraction of its candidates."""
+    from avgdist_rs_spark.operators.dedup import (
+        _prefix_candidates,
+        jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.3, 0.5, 0.8):
+        base = set(
+            map(tuple, jaccard_pairs(docs, threshold=t).select("a", "b", "jaccard").collect())
+        )
+        pref = set(
+            map(
+                tuple,
+                jaccard_pairs(docs, threshold=t, strategy="prefix")
+                .select("a", "b", "jaccard")
+                .collect(),
+            )
+        )
+        assert pref == base, f"t={t}"
+    sh = word_shingles(docs, 3)
+    co_shingled = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id"), F.col("y.id"))
+        .distinct()
+        .count()
+    )
+    cand = _prefix_candidates(sh, 0.8).count()
+    assert cand < co_shingled / 10, (cand, co_shingled)
