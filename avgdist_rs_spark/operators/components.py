@@ -60,7 +60,7 @@ def connected_components(
     hash-min for the first ``AUTO_SHORTCUT_AFTER`` supersteps (the
     short-diameter web/social regime converges before jumping would help),
     then pointer jumping from superstep 5 on — a 10^4-hop chain finishes in
-    ~16 supersteps total (benchmarked), a diameter-≤4 session graph never
+    ~12 supersteps total (benchmarked), a diameter-≤4 session graph never
     pays the extra join. ``True``/``False`` force either mode; all three
     converge to the identical exact labeling (tested).
 
