@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.graph import GraphFrame
-from ..streaming.superstep import Checkpointer, SuperstepMetrics, aqe_disabled
+from ..streaming.superstep import (
+    Checkpointer,
+    SuperstepMetrics,
+    aqe_disabled,
+    fixpoint_shuffle_partitions,
+)
 
 
 def k_core(
@@ -68,7 +73,12 @@ def k_core(
     )
     n_alive = alive.count()
 
-    with aqe_disabled(spark):
+    # shuffle width scoped to the peel's exchange volume: each superstep
+    # aggregates the alive-filtered symmetric edge stream (≤ 2m rows) into
+    # an ≤ n-row degree table (see fixpoint_shuffle_partitions)
+    with fixpoint_shuffle_partitions(
+        spark, max(graph.num_nodes, 2 * graph.num_edges)
+    ), aqe_disabled(spark):
         converged = n_alive == 0
         for it in range(1, max_supersteps + 1):
             if converged:

@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.graph import GraphFrame
-from ..streaming.superstep import Checkpointer, SuperstepMetrics, aqe_disabled
+from ..streaming.superstep import (
+    Checkpointer,
+    SuperstepMetrics,
+    aqe_disabled,
+    fixpoint_shuffle_partitions,
+)
 
 
 def pagerank(
@@ -101,8 +106,14 @@ def pagerank(
         .select("v", F.lit(0.0).alias("c"), tele.alias("_tele"))
         .persist()
     )
-    # fixed-shape fixpoint: run without AQE (see aqe_disabled)
-    with aqe_disabled(spark):
+    # fixed-shape fixpoint: run without AQE (see aqe_disabled), shuffle width
+    # scoped to the per-superstep exchange volume — the rank vector (n rows)
+    # and the contribution stream (m rows) are all that moves each iteration
+    # (measured on this loop: 14–15.4 s → 6.2–7.7 s for 10 iterations at
+    # sf0.1, see fixpoint_shuffle_partitions)
+    with fixpoint_shuffle_partitions(
+        spark, max(n, graph.num_edges)
+    ), aqe_disabled(spark):
         for it in range(start_iter + 1, iterations + 1):
             t0 = time.monotonic()
             # every-vertex presence WITHOUT a second join: zero-contribution base

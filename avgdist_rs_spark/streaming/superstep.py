@@ -223,7 +223,7 @@ def _conf_scope(spark: SparkSession, key: str, value: str):
 
 
 def fixpoint_shuffle_partitions(
-    spark: SparkSession, rows: int, per_partition: int = 250_000, floor: int = 4
+    spark: SparkSession, rows: int, per_partition: int = 64_000, floor: int = 4
 ):
     """Scope ``spark.sql.shuffle.partitions`` to the fixpoint's per-superstep
     exchange volume (``rows`` ≈ max(|V|, |E|) of the loop's state and
@@ -238,6 +238,14 @@ def fixpoint_shuffle_partitions(
     shuffle to your data" rule, the regime AQE coalescing only partially
     recovers (AQE still schedules its initial map tasks at the session
     width).
+
+    ``per_partition`` is tuned from a two-scale pagerank sweep (local[32],
+    sf0.1 eg graph ≈ 105k edges and a 10×-replicated copy ≈ 1.05 M edges):
+    1× optimum is width 4–8 (6.2–7.7 s vs 14–15.4 s at the session's 32),
+    10× optimum is width 16 (≈10.1 s vs ≈12.1 s at width 5 and ≈16.5 s at
+    32). 64k rows/partition lands on both optima — ceil(105k/64k)→floor 4,
+    ceil(1.05M/64k)=17 — where the previous 250k sizing under-widthed the
+    10× case by ~20%.
     """
     cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     target = max(floor, -(-int(rows) // per_partition))
