@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.graph import GraphFrame, _num_partitions_for
-from ..streaming.superstep import Checkpointer, SuperstepMetrics, aqe_disabled
+from ..streaming.superstep import (
+    Checkpointer,
+    SuperstepMetrics,
+    adaptive_shuffle_width,
+    aqe_disabled,
+)
 from .bfs import DEFAULT_CSR_MAX_EDGES, _gather
 
 
@@ -161,7 +166,16 @@ def _betweenness_shards(
         eager=True
     )
     depth = 0
-    with aqe_disabled(spark):
+    # per-superstep exchange volume = the gathered edge stream (level rows ·
+    # avg_degree) + the visited anti-join side; all level sizes are counted
+    # anyway, so the shuffle width tracks them in both sweeps (see
+    # adaptive_shuffle_width — the reverse sweep reuses the forward counts)
+    avg_deg = max(1, -(-graph.num_edges // max(graph.num_nodes, 1)))
+    n_seeds = mult.count()
+    lvl_rows = [n_seeds]
+    visited_rows = n_seeds
+    with aqe_disabled(spark), adaptive_shuffle_width(spark) as upd:
+        upd(max(visited_rows, n_seeds * avg_deg))
         # ---- forward: σ accumulates level by level ------------------------
         while True:
             t0 = time.monotonic()
@@ -191,11 +205,15 @@ def _betweenness_shards(
                 )
             visited = ckpt.step(visited.unionAll(newf), depth)
             frontier = newf.select("seed", "v", "sigma")
+            lvl_rows.append(n_new)
+            visited_rows += n_new
+            upd(max(visited_rows, n_new * avg_deg))
         # ---- reverse: δ folds down one level per superstep ---------------
         acc: DataFrame | None = None  # folded union of per-level δ tables
         delta_above: DataFrame | None = None  # (seed, v, delta) at level d+1
         for lvl in range(depth - 1, -1, -1):
             t0 = time.monotonic()
+            upd(lvl_rows[lvl] * avg_deg + lvl_rows[lvl + 1])
             lev = visited.where(F.col("dist") == lvl).select("seed", "v", "sigma")
             edges = expand(lev)  # (seed, u, sigma_u, w)
             nxt = visited.where(F.col("dist") == lvl + 1).select(

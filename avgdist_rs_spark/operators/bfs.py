@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from ..plans.graph import GraphFrame
-from ..streaming.superstep import Checkpointer, SuperstepMetrics
+from ..streaming.superstep import (
+    Checkpointer,
+    SuperstepMetrics,
+    adaptive_shuffle_width,
+)
 
 #: Above this edge count the broadcast CSR is not attempted (driver/executor memory).
 DEFAULT_CSR_MAX_EDGES = 200_000_000
@@ -556,34 +560,45 @@ def bfs_frontier(
         visited = frontier.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(
             eager=True
         )
-    while True:
-        t0 = time.monotonic()
-        dist += 1
-        if salted is not None:
-            from ..functions.salting import salted_expand
+    # exchange volume per superstep = the expanded frontier (|frontier| ·
+    # avg_degree rows through dedup/groupBy) plus the visited side of the
+    # anti-join — both counted anyway, so the shuffle width tracks them
+    # (adaptive_shuffle_width: ramp-up/drain-out supersteps and small-reach
+    # seed sets stop paying session-width task scheduling per exchange)
+    avg_deg = max(1, -(-graph.num_edges // max(graph.num_nodes, 1)))
+    visited_rows = visited.count()
+    with adaptive_shuffle_width(spark) as upd:
+        upd(max(visited_rows, visited_rows * avg_deg))
+        while True:
+            t0 = time.monotonic()
+            dist += 1
+            if salted is not None:
+                from ..functions.salting import salted_expand
 
-            expanded = salted_expand(frontier, salted, hdf, num_salts)
-        elif shard_expand is not None:
-            expanded = shard_expand(frontier)
-        else:
-            expanded = frontier.join(edges, F.col("v") == F.col("_esrc")).select(
-                F.col("seed"), F.col("_edst").alias("v")
+                expanded = salted_expand(frontier, salted, hdf, num_salts)
+            elif shard_expand is not None:
+                expanded = shard_expand(frontier)
+            else:
+                expanded = frontier.join(edges, F.col("v") == F.col("_esrc")).select(
+                    F.col("seed"), F.col("_edst").alias("v")
+                )
+            nxt = (
+                expanded.dropDuplicates(["seed", "v"])
+                .join(visited.select("seed", "v"), ["seed", "v"], "left_anti")
+                .localCheckpoint(eager=True)
             )
-        nxt = (
-            expanded.dropDuplicates(["seed", "v"])
-            .join(visited.select("seed", "v"), ["seed", "v"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        cnt = nxt.count()
-        wall = time.monotonic() - t0
-        met.record(dist, cnt, wall)
-        if cnt == 0:
-            break
-        visited = visited.union(nxt.withColumn("dist", F.lit(dist).cast("long")))
-        visited = ckpt.cut(visited, dist, rows=cnt, wall_s=wall)
-        frontier = nxt
-        if max_supersteps is not None and dist >= max_supersteps:
-            break
+            cnt = nxt.count()
+            wall = time.monotonic() - t0
+            met.record(dist, cnt, wall)
+            if cnt == 0:
+                break
+            visited = visited.union(nxt.withColumn("dist", F.lit(dist).cast("long")))
+            visited = ckpt.cut(visited, dist, rows=cnt, wall_s=wall)
+            frontier = nxt
+            visited_rows += cnt
+            upd(max(visited_rows, cnt * avg_deg))
+            if max_supersteps is not None and dist >= max_supersteps:
+                break
     if salted is not None:
         salted.unpersist()
         hdf.unpersist()

@@ -252,3 +252,32 @@ def fixpoint_shuffle_partitions(
     return _conf_scope(
         spark, "spark.sql.shuffle.partitions", str(min(cur, target))
     )
+
+
+@contextmanager
+def adaptive_shuffle_width(
+    spark: SparkSession, per_partition: int = 64_000, floor: int = 4
+):
+    """Frontier-driven variant of :func:`fixpoint_shuffle_partitions` for
+    loops whose exchange volume VARIES superstep to superstep (BFS frontiers,
+    Brandes lockstep sweeps): yields an ``update(rows)`` callable the loop
+    invokes with its estimate of the NEXT superstep's exchange rows (typically
+    ``max(|visited|, |frontier| · avg_degree)`` — both already counted every
+    superstep for convergence), re-sizing ``spark.sql.shuffle.partitions``
+    between supersteps. Spark re-plans each superstep's DataFrames lazily, so
+    a conf change between actions takes effect on the next superstep's jobs.
+
+    The width never exceeds the session value captured at entry (large
+    frontiers keep full cluster parallelism; the session value is restored on
+    exit), so this only trims the small-frontier tail — the BFS ramp-up/
+    drain-out supersteps and small-reach seed sets that otherwise pay
+    session-width task scheduling per exchange for near-empty partitions.
+    """
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    def update(rows: int) -> None:
+        target = max(floor, -(-int(rows) // per_partition))
+        spark.conf.set("spark.sql.shuffle.partitions", str(min(cur, target)))
+
+    with _conf_scope(spark, "spark.sql.shuffle.partitions", str(cur)):
+        yield update
