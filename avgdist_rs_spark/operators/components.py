@@ -92,8 +92,15 @@ def connected_components(
     # value); once the scoped width is narrow (≤8) AQE flips to a net cost —
     # nothing left to coalesce, still per-superstep re-planning (measured at
     # width 4: ~3.4 s without vs ~3.8 s with) — so narrow loops disable it.
+    # per_partition stays at 250k here (not the 64k the fused-aggregate
+    # loops use): the pointer-jump SELF-JOIN runs several stages per
+    # superstep, so scheduling — not row throughput — dominates and fewer,
+    # larger partitions win. Measured on the 10×-replica (1.05 M edges,
+    # local[32], warm): width 4 ≈ 9.3–10.6 s vs width 17 ≈ 13.1–13.3 s vs
+    # the session's 32 ≈ 11.8–12.3 s — the OPPOSITE ordering of pagerank's
+    # single-aggregate superstep (see fixpoint_shuffle_partitions).
     with fixpoint_shuffle_partitions(
-        spark, max(graph.num_nodes, graph.num_edges)
+        spark, max(graph.num_nodes, graph.num_edges), per_partition=250_000
     ):
         narrow = int(spark.conf.get("spark.sql.shuffle.partitions")) <= 8
         aqe_ctx = aqe_disabled(spark) if narrow else nullcontext()

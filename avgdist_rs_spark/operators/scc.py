@@ -254,9 +254,12 @@ def strongly_connected_components(
                 )
 
     # shuffle width scoped to the exchange volume (≤ the session value):
-    # phase-1 trims and phase-2 fixpoints exchange at most m_t ≤ m rows
+    # phase-1 trims and phase-2 fixpoints exchange at most m_t ≤ m rows.
+    # per_partition 250k as in components.py: the coloring/membership
+    # fixpoints pointer-jump through self-joins (multiple stages per
+    # superstep), the regime where fewer, larger partitions measured faster
     with fixpoint_shuffle_partitions(
-        spark, max(graph.num_nodes, graph.num_edges)
+        spark, max(graph.num_nodes, graph.num_edges), per_partition=250_000
     ):
         for _round in range(1, max_rounds + 1):
             if n_alive == 0:
