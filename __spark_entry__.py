@@ -446,6 +446,31 @@ def _q_simple_paths(spark, sf):
     )
 
 
+def _q_zdd_paths(spark, sf):
+    """K8 full mode (reference to_zdd/bdd_reduce/zdd_all_sols,
+    src/lib.rs:488-782): build the SIMPATH ZDD of ALL undirected simple
+    paths between the first and last event types on the user↔event-type
+    affiliation graph of users 0..7 (the reference's subgraph restriction,
+    lib.rs:344), then enumerate the compressed solution set distributedly.
+    K₅,₈-shaped at every SF → 12,272 paths from a ~2k-node ZDD."""
+    from avgdist_rs_spark.operators.zdd import simple_paths_zdd_edges
+
+    ev = _events(spark, sf)
+    aff = (
+        ev.where(F.col("user_id") < 8)
+        .select(
+            F.concat(F.lit("U:"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("T:"), F.col("event_type")).alias("dst"),
+        )
+        .distinct()
+    )
+    st = aff.agg(F.min("dst").alias("s"), F.max("dst").alias("g")).collect()[0]
+    p = simple_paths_zdd_edges(spark, aff, st["s"], st["g"])
+    return p.select(
+        F.array_join("path", "->").alias("path_str"), F.col("hops").cast("long")
+    )
+
+
 def _q_simple_path_count(spark, sf):
     """K8 count-only mode: the set-sharing DP (reference zdd_all_sols,
     src/lib.rs:618-692) — counts without materializing any path."""
@@ -901,7 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_telemetry_bfs": _q_telemetry_bfs,
         "eg_bfs_from_seed": _q_bfs_from_seed,
         "eg_reach_counts": _q_reach_counts,
-        "eg_simple_paths": _q_simple_paths,
+        "eg_zdd_paths": _q_zdd_paths,
         "eg_simple_path_count": _q_simple_path_count,
         "eg_harmonic_histogram": _q_harmonic_histogram,
         "eg_avgdist_sampled": _q_avgdist_sampled,
@@ -960,6 +985,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       layout round-trip separately tested in ``tests/test_sources.py``.
     - ``eg_hyperball_ecc``  — eccentricity readout of the same sketch whose
       counter stream is driver-covered bit-exactly by ``eg_hyperball_nf``.
+    - ``eg_simple_paths``   — K8 path enumeration is driver-covered by the
+      strictly stronger ``eg_zdd_paths`` (full SIMPATH ZDD, enumerated) plus
+      ``eg_simple_path_count``; the frontier-join enumerator stays
+      networkx-paritied in ``tests/test_simpath.py``.
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -968,6 +997,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_lin_closeness": _q_lin_closeness,
         "eg_bfs_bucketed": _q_bfs_bucketed,
         "eg_hyperball_ecc": _q_hyperball_ecc,
+        "eg_simple_paths": _q_simple_paths,
     }
 
 
@@ -2065,6 +2095,24 @@ def _all_oracle_sql() -> dict[str, str]:
             "    AND len(p.path) <= 16) "
             "SELECT array_to_string(path, '->') AS path_str, "
             "(len(path) - 1)::BIGINT AS hops FROM p WHERE tail = (SELECT t FROM tgt)"
+        ),
+        "eg_zdd_paths": (
+            # the oracle enumerates recursively (fine at sf scales); the
+            # engine builds the compressed SIMPATH ZDD and walks it — set
+            # equality verifies construction, reduction AND the walk
+            "WITH RECURSIVE aff AS MATERIALIZED ("
+            "  SELECT DISTINCT 'U:' || user_id::VARCHAR AS src, "
+            "         'T:' || event_type AS dst FROM events WHERE user_id < 8), "
+            "ue AS MATERIALIZED ("
+            "  SELECT src, dst FROM aff UNION SELECT dst AS src, src AS dst FROM aff), "
+            "st AS MATERIALIZED (SELECT min(dst) AS s, max(dst) AS g FROM aff), "
+            "p(tail, path) AS ("
+            "  SELECT s, [s] FROM st "
+            "  UNION ALL "
+            "  SELECT e.dst, p.path || [e.dst] FROM p JOIN ue e ON e.src = p.tail "
+            "  WHERE NOT list_contains(p.path, e.dst) AND p.tail <> (SELECT g FROM st)) "
+            "SELECT array_to_string(path, '->') AS path_str, "
+            "(len(path) - 1)::BIGINT AS hops FROM p WHERE tail = (SELECT g FROM st)"
         ),
         "eg_simple_path_count": (
             # the oracle counts by enumeration (fine at sf scales); the engine
