@@ -48,6 +48,7 @@ _LSH_TABLES = 2  # multi-table LSH: candidates unioned across independent plane 
 #: it against this constant — a loud error instead of a silent hash mismatch
 #: if the embeddings table ever changes shape.
 _EMB_DIM = 64
+_WALK_LEN, _SG_WIN = 5, 2  # random-walk corpus: steps per walk / skip-gram window
 _SAMP_EPS, _SAMP_SLOT = 0.2, 16  # sampled-estimator defaults (k = ceil(log2 n / 2eps²))
 _PAIR_EPS, _PAIR_WINDOW = 0.3, 100  # pair-rejection: k at eps, draw window = 100·n
 _HB_P = 6  # HyperBall precision for the driver query (m=64 registers keeps the
@@ -888,6 +889,31 @@ def _q_hyperball_ecc(spark, sf):
     return _orig(g, hb, ["v"]).select("v", F.col("ecc_est").cast("long"))
 
 
+def _q_random_walks(spark, sf):
+    """Pipeline: deterministic DeepWalk corpus over the session graph —
+    every draw is the portable md5 hash of (seed, walk_id, step, cur), so the
+    oracle replays the IDENTICAL walks step-by-step in SQL (no RNG state,
+    no partition-order dependence). One adjacency groupBy + _WALK_LEN
+    equi-joins, all one composed plan."""
+    from avgdist_rs_spark.operators.walks import random_walks
+
+    w = random_walks(event_edges(_events(spark, sf)), walk_length=_WALK_LEN)
+    return w.select(
+        "walk_id", F.array_join("path", "->").alias("path_str"), F.col("steps")
+    )
+
+
+def _q_skipgram_pairs(spark, sf):
+    """Pipeline: (center, context) skip-gram training pairs windowed over the
+    walk corpus — the graph→token-stream bridge a tokenizer consumes."""
+    from avgdist_rs_spark.operators.walks import random_walks, skipgram_pairs
+
+    w = random_walks(event_edges(_events(spark, sf)), walk_length=_WALK_LEN)
+    return skipgram_pairs(w, window=_SG_WIN).select(
+        "center", "context", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-checked registry — capped at 50 entries so EVERY registered query
     sits inside the driver's 50-slot correctness window (round-3 verdict: the
@@ -911,7 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_triangle_count": _q_triangle_count,
         "eg_connected_components": _q_connected_components,
         "eg_pagerank": _q_pagerank,
-        "eg_pagerank_personalized": _q_pagerank_personalized,
+        "eg_random_walks": _q_random_walks,
         "eg_label_propagation": _q_label_propagation,
         "eg_kcore": _q_kcore,
         "eg_scc": _q_scc,
@@ -939,7 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    extra_queries() with per-slot rationale -----------------------
         "eg_out_degrees": _q_out_degrees,
         "eg_clustering": _q_clustering,
-        "doc_minhash_signatures": _q_minhash_signatures,
+        "eg_skipgram_pairs": _q_skipgram_pairs,
         "doc_dedup_exact": _q_dedup_exact,
         "doc_jaccard_pairs": _q_jaccard_pairs,
         "doc_minhash_lsh": _q_minhash_lsh,
@@ -989,6 +1015,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       strictly stronger ``eg_zdd_paths`` (full SIMPATH ZDD, enumerated) plus
       ``eg_simple_path_count``; the frontier-join enumerator stays
       networkx-paritied in ``tests/test_simpath.py``.
+    - ``eg_pagerank_personalized`` — same fused superstep kernel as the
+      driver-covered ``eg_pagerank`` (only the teleport vector differs);
+      displaced by the new ``eg_random_walks``.
+    - ``doc_minhash_signatures`` — the signature column is the input of the
+      driver-covered ``doc_minhash_lsh`` band join (a defect flips it);
+      displaced by the new ``eg_skipgram_pairs``.
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -998,6 +1030,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_bfs_bucketed": _q_bfs_bucketed,
         "eg_hyperball_ecc": _q_hyperball_ecc,
         "eg_simple_paths": _q_simple_paths,
+        "eg_pagerank_personalized": _q_pagerank_personalized,
+        "doc_minhash_signatures": _q_minhash_signatures,
     }
 
 
@@ -1562,6 +1596,52 @@ def _lp_sql() -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT v, label FROM p{_LP_ITERS}"
 
 
+def _walk_cte() -> tuple[str, str]:
+    """Shared CTE chain replaying the engine's deterministic random walks
+    step-by-step: ranked adjacency (sorted-distinct neighbor lists), then
+    _WALK_LEN unrolled join steps, each picking
+    ``nbrs[h('walk:'||walk_id||':'||t||':'||cur) % deg + 1]`` — the exact md5
+    draw ``operators/walks.py`` computes.  Returns (cte_sql, final_cte_name).
+    """
+    parts = [
+        _EG,
+        _SYM,
+        "wadj AS MATERIALIZED (SELECT src AS v, list(dst ORDER BY dst) AS nbrs, "
+        "count(*)::BIGINT AS deg FROM sym GROUP BY src)",
+        "w0 AS MATERIALIZED (SELECT v AS walk_id, v AS cur, [v] AS path FROM wadj)",
+    ]
+    for t in range(1, _WALK_LEN + 1):
+        h = f"(('0x' || substr(md5('walk:' || w.walk_id || ':{t}:' || w.cur), 1, 15))::BIGINT)"
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT walk_id, nxt AS cur, path || [nxt] AS path "
+            f"FROM (SELECT w.walk_id, w.path, a.nbrs[({h} % a.deg + 1)::BIGINT] AS nxt "
+            f"FROM w{t - 1} w JOIN wadj a ON a.v = w.cur))"
+        )
+    return "WITH " + ",\n".join(parts), f"w{_WALK_LEN}"
+
+
+def _random_walks_sql() -> str:
+    cte, last = _walk_cte()
+    return (
+        f"{cte}\nSELECT walk_id, array_to_string(path, '->') AS path_str, "
+        f"(len(path) - 1)::BIGINT AS steps FROM {last}"
+    )
+
+
+def _skipgram_sql() -> str:
+    cte, last = _walk_cte()
+    return (
+        f"{cte},\n"
+        f"sgpos AS MATERIALIZED (SELECT path, "
+        f"unnest(generate_series(1, len(path))) AS i FROM {last}),\n"
+        f"sgctx AS MATERIALIZED (SELECT path[i] AS center, path[j] AS context FROM ("
+        f"SELECT path, i, unnest(generate_series(greatest(i - {_SG_WIN}, 1), "
+        f"least(i + {_SG_WIN}, len(path)))) AS j FROM sgpos) WHERE j <> i)\n"
+        f"SELECT center, context, count(*)::BIGINT AS cnt "
+        f"FROM sgctx GROUP BY center, context"
+    )
+
+
 def _simhash_sql() -> str:
     cases = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -2018,6 +2098,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "eg_connected_components": _cc_sql(),
         "eg_pagerank": _pagerank_sql(),
         "eg_pagerank_personalized": _ppr_sql(),
+        "eg_random_walks": _random_walks_sql(),
+        "eg_skipgram_pairs": _skipgram_sql(),
         "eg_kcore": _kcore_sql(),
         "eg_scc": _scc_sql(),
         "eg_betweenness": _betweenness_sql(),
