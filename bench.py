@@ -262,6 +262,23 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     # the stateful sessionizer (the only family that had no bench presence)
     timed("stream_sessions", lambda: em._q_stream_sessions(spark, sf_dir).count())
 
+    # walk corpus: deterministic DeepWalk walks (L=8 composed equi-joins) +
+    # skip-gram extraction; sum(steps)/sum(cnt) force the produced columns
+    # (a bare count() lets Catalyst prune the unique-key left joins entirely)
+    from avgdist_rs_spark.operators.walks import random_walks, skipgram_pairs
+
+    def run_walks():
+        w = random_walks(g.edges, walk_length=8).persist()
+        w.agg(F.sum("steps")).collect()  # materialize INSIDE the timing
+        return w
+
+    walks_df = timed("random_walks", run_walks)
+    timed(
+        "skipgram_pairs",
+        lambda: skipgram_pairs(walks_df, window=2).agg(F.sum("cnt")).collect(),
+    )
+    walks_df.unpersist()
+
     extras["num_nodes"] = g.num_nodes
     extras["num_edges"] = g.num_edges
 
@@ -296,6 +313,12 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         timed(
             "10x_betweenness_2048",
             lambda: betweenness(g10, seeds=seeds10).agg(F.sum("bc")).collect(),
+        )
+        timed(
+            "10x_random_walks",
+            lambda: random_walks(g10.edges, walk_length=8)
+            .agg(F.sum("steps"))
+            .collect(),
         )
         extras["num_nodes_10x"] = g10.num_nodes
         extras["num_edges_10x"] = g10.num_edges
