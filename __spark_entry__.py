@@ -49,6 +49,8 @@ _LSH_TABLES = 2  # multi-table LSH: candidates unioned across independent plane 
 #: if the embeddings table ever changes shape.
 _EMB_DIM = 64
 _WALK_LEN, _SG_WIN = 5, 2  # random-walk corpus: steps per walk / skip-gram window
+_DC_K, _DC_MOD = 5, 20  # decontamination: word-gram width / eval-split modulus
+_N2V_CAP = 64  # node2vec: deterministic sorted-prefix degree cap at the hubs
 _SAMP_EPS, _SAMP_SLOT = 0.2, 16  # sampled-estimator defaults (k = ceil(log2 n / 2eps²))
 _PAIR_EPS, _PAIR_WINDOW = 0.3, 100  # pair-rejection: k at eps, draw window = 100·n
 _HB_P = 6  # HyperBall precision for the driver query (m=64 registers keeps the
@@ -914,6 +916,60 @@ def _q_skipgram_pairs(spark, sf):
     )
 
 
+def _q_node2vec_walks(spark, sf):
+    """Pipeline: second-order biased walks (node2vec) over the session graph —
+    the weighted draw is exact integer arithmetic (weights 1/4/2 ≡ p=4, q=2)
+    over the portable md5 stream, so the oracle replays the inverse-CDF pick
+    per candidate with a window prefix sum. One adjacency groupBy; each step
+    stays ONE equi-join (prev's neighbor array is carried, not re-joined).
+    The H:-type hubs get the deterministic sorted-prefix degree cap
+    (max_deg=64): second-order weighting is inherently O(deg²) per hub step,
+    and the cap is the standard sampler treatment — exact mode stays
+    available (max_deg=None) and is replay-tested in tests/test_walks.py."""
+    from avgdist_rs_spark.operators.walks import node2vec_walks
+
+    w = node2vec_walks(
+        event_edges(_events(spark, sf)), walk_length=_WALK_LEN, max_deg=_N2V_CAP
+    )
+    return w.select(
+        "walk_id", F.array_join("path", "->").alias("path_str"), F.col("steps")
+    )
+
+
+def _q_repetition(spark, sf):
+    """Pipeline: Gopher-style within-document repetition signals — the
+    quality-filter family's repetition leg (dup-word / top-bigram /
+    dup-trigram fractions + the composite drop flag)."""
+    from avgdist_rs_spark.operators.textstats import repetition_stats
+
+    r = repetition_stats(_docs(spark, sf))
+    return r.select(
+        F.col("id").cast("long"),
+        F.col("n_words").cast("long"),
+        "dup_word_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "repetitive",
+    )
+
+
+def _q_contamination(spark, sf):
+    """Pipeline: eval-set decontamination — per TRAINING doc, distinct word
+    5-gram overlap with the deterministic held-out split (h(id) % 20 == 0).
+    The eval gram-hash set is broadcast; the training corpus is never
+    shuffled (the one exchange is the per-doc count groupBy)."""
+    from avgdist_rs_spark.operators.decontam import contamination
+
+    c = contamination(_docs(spark, sf), k=_DC_K, mod=_DC_MOD)
+    return c.select(
+        F.col("id").cast("long"),
+        F.col("n_grams").cast("long"),
+        F.col("n_hit").cast("long"),
+        "contam_frac",
+        "contaminated",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-checked registry — capped at 50 entries so EVERY registered query
     sits inside the driver's 50-slot correctness window (round-3 verdict: the
@@ -927,7 +983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    had a driver row) --------------------------------------------
         "emb_ivf_ann": _q_ivf_ann,
         "emb_near_dup_pairs": _q_emb_near_dup,
-        "events_session_stats": _q_session_stats,
         "events_stream_sessions": _q_stream_sessions,
         "media_metadata": _q_media_metadata,
         "media_features": _q_media_features,
@@ -938,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_connected_components": _q_connected_components,
         "eg_pagerank": _q_pagerank,
         "eg_random_walks": _q_random_walks,
+        "eg_node2vec_walks": _q_node2vec_walks,
         "eg_label_propagation": _q_label_propagation,
         "eg_kcore": _q_kcore,
         "eg_scc": _q_scc,
@@ -951,7 +1007,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_results_roundtrip": _q_results_roundtrip,
         "eg_telemetry_bfs": _q_telemetry_bfs,
         "eg_bfs_from_seed": _q_bfs_from_seed,
-        "eg_reach_counts": _q_reach_counts,
         "eg_zdd_paths": _q_zdd_paths,
         "eg_simple_path_count": _q_simple_path_count,
         "eg_harmonic_histogram": _q_harmonic_histogram,
@@ -977,7 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": _q_token_count,
         "doc_lang_id": _q_lang_id,
         "doc_quality": _q_quality,
-        "doc_fingerprint": _q_fingerprint,
+        "doc_repetition": _q_repetition,
+        "doc_contamination": _q_contamination,
         "emb_cosine_topk": _q_cosine_topk,
         "emb_lsh_ann": _q_lsh_ann,
     }
@@ -1021,6 +1077,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``doc_minhash_signatures`` — the signature column is the input of the
       driver-covered ``doc_minhash_lsh`` band join (a defect flips it);
       displaced by the new ``eg_skipgram_pairs``.
+    - ``doc_fingerprint``    — the fingerprint IS a bottom-1 MinHash sketch:
+      the same min-over-shingle-hash kernel is driver-covered by
+      ``doc_minhash_lsh`` (whose band keys aggregate the identical hashed
+      shingle stream); displaced by the new ``doc_repetition``.
+    - ``eg_reach_counts``    — A4 per-vertex coverage is the ``count(*)`` leg
+      of the same all-sources visited-table groupBy whose sum leg is
+      driver-covered by ``eg_harmonic``; displaced by ``doc_contamination``.
+    - ``events_session_stats`` — the same gap rule is driver-covered by the
+      strictly harder ``events_stream_sessions`` (the stateful STREAMING
+      sessionizer, pytest-asserted equal to the batch operator); displaced
+      by the new ``eg_node2vec_walks``.
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -1032,6 +1099,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_simple_paths": _q_simple_paths,
         "eg_pagerank_personalized": _q_pagerank_personalized,
         "doc_minhash_signatures": _q_minhash_signatures,
+        "doc_fingerprint": _q_fingerprint,
+        "eg_reach_counts": _q_reach_counts,
+        "events_session_stats": _q_session_stats,
     }
 
 
@@ -1628,6 +1698,63 @@ def _random_walks_sql() -> str:
     )
 
 
+def _node2vec_sql(wr: int = 1, wc: int = 4, wo: int = 2, cap: int | None = None) -> str:
+    """Replays ``operators/walks.py::node2vec_walks`` step-by-step: step 1 is
+    the uniform md5 draw; steps 2+ expand every candidate of ``cur`` with its
+    integer node2vec weight (return/common/outward vs ``prev``), prefix-sum
+    the weights over the sorted neighbor order, and keep the one candidate
+    whose cumulative window brackets ``h % total`` — the identical integer
+    inverse-CDF pick the engine folds with ``F.aggregate``. ``cap`` mirrors
+    the engine's deterministic sorted-prefix degree cap (``max_deg``)."""
+    parts = [
+        _EG,
+        _SYM,
+        "wadj AS MATERIALIZED (SELECT src AS v, list(dst ORDER BY dst) AS nbrs, "
+        "count(*)::BIGINT AS deg FROM sym GROUP BY src)",
+    ]
+    if cap is not None:
+        parts.append(
+            f"wadjc AS MATERIALIZED (SELECT v, nbrs[1:{cap}] AS nbrs, "
+            f"least(deg, {cap})::BIGINT AS deg FROM wadj)"
+        )
+    adj_cte = "wadjc" if cap is not None else "wadj"
+    parts.append(f"s0 AS (SELECT v AS walk_id, v AS cur, [v] AS path FROM {adj_cte})")
+    h1 = "(('0x' || substr(md5('n2v:' || w.walk_id || ':1:' || w.cur), 1, 15))::BIGINT)"
+    parts.append(
+        "s1 AS MATERIALIZED (SELECT walk_id, path || [nxt] AS path, cur AS prev, nxt AS cur "
+        f"FROM (SELECT w.walk_id, w.path, w.cur, a.nbrs[({h1} % a.deg + 1)::BIGINT] AS nxt "
+        f"FROM s0 w JOIN {adj_cte} a ON a.v = w.cur))"
+    )
+    for t in range(2, _WALK_LEN + 1):
+        h = f"(('0x' || substr(md5('n2v:' || w.walk_id || ':{t}:' || w.cur), 1, 15))::BIGINT)"
+        parts.append(
+            f"e{t} AS (SELECT walk_id, path, cur, prev, nbrs, pnbrs, hh, "
+            "unnest(generate_series(1, len(nbrs))) AS i "
+            f"FROM (SELECT w.walk_id, w.path, w.cur, w.prev, a.nbrs AS nbrs, "
+            f"ap.nbrs AS pnbrs, {h} AS hh "
+            f"FROM s{t - 1} w JOIN {adj_cte} a ON a.v = w.cur "
+            f"JOIN {adj_cte} ap ON ap.v = w.prev))"
+        )
+        parts.append(
+            f"x{t} AS (SELECT walk_id, path, cur, nbrs[i] AS cand, hh, i, "
+            f"(CASE WHEN nbrs[i] = prev THEN {wr} "
+            f"WHEN list_contains(pnbrs, nbrs[i]) THEN {wc} "
+            f"ELSE {wo} END)::BIGINT AS wt FROM e{t})"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT walk_id, path || [cand] AS path, "
+            "cur AS prev, cand AS cur "
+            "FROM (SELECT *, sum(wt) OVER (PARTITION BY walk_id ORDER BY i) AS cum, "
+            f"sum(wt) OVER (PARTITION BY walk_id) AS tot FROM x{t}) "
+            "WHERE cum > (hh % tot) AND cum - wt <= (hh % tot))"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT walk_id, array_to_string(path, '->') AS path_str, "
+        f"(len(path) - 1)::BIGINT AS steps FROM s{_WALK_LEN}"
+    )
+
+
 def _skipgram_sql() -> str:
     cte, last = _walk_cte()
     return (
@@ -2099,6 +2226,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "eg_pagerank": _pagerank_sql(),
         "eg_pagerank_personalized": _ppr_sql(),
         "eg_random_walks": _random_walks_sql(),
+        "eg_node2vec_walks": _node2vec_sql(cap=_N2V_CAP),
         "eg_skipgram_pairs": _skipgram_sql(),
         "eg_kcore": _kcore_sql(),
         "eg_scc": _scc_sql(),
@@ -2284,6 +2412,58 @@ def _all_oracle_sql() -> dict[str, str]:
             "SELECT id::BIGINT AS id, "
             "min(('0x' || substr(md5('fp:' || shingle), 1, 15))::BIGINT) AS fp "
             "FROM sh GROUP BY id"
+        ),
+        "doc_repetition": (
+            "WITH wd AS (SELECT doc_id AS id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "base AS (SELECT id, len(ws)::BIGINT AS n_words, "
+            "round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6) AS dup_word_frac "
+            "FROM wd), "
+            "c2 AS (SELECT id, g, count(*) AS cnt FROM ("
+            "SELECT id, ws[i] || ' ' || ws[i+1] AS g FROM ("
+            "SELECT id, ws, unnest(generate_series(1, greatest(len(ws)-1, 0))) AS i "
+            "FROM wd)) GROUP BY id, g), "
+            "a2 AS (SELECT id, round(max(cnt)::DOUBLE / sum(cnt), 6) AS top2 "
+            "FROM c2 GROUP BY id), "
+            "c3 AS (SELECT id, g, count(*) AS cnt FROM ("
+            "SELECT id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ("
+            "SELECT id, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i "
+            "FROM wd)) GROUP BY id, g), "
+            "a3 AS (SELECT id, round(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0)"
+            "::DOUBLE / sum(cnt), 6) AS dup3 FROM c3 GROUP BY id) "
+            "SELECT b.id::BIGINT AS id, b.n_words, b.dup_word_frac, "
+            "coalesce(a2.top2, 0.0) AS top_bigram_frac, "
+            "coalesce(a3.dup3, 0.0) AS dup_trigram_frac, "
+            "(b.dup_word_frac > 0.3 OR coalesce(a2.top2, 0.0) > 0.18 "
+            "OR coalesce(a3.dup3, 0.0) > 0.18) AS repetitive "
+            "FROM base b LEFT JOIN a2 ON a2.id = b.id LEFT JOIN a3 ON a3.id = b.id"
+        ),
+        "doc_contamination": (
+            f"WITH split AS (SELECT doc_id, text, "
+            f"{_hmod('eval:', 'doc_id', str(_DC_MOD))} AS b FROM documents), "
+            "ev AS (SELECT doc_id, text FROM split WHERE b = 0), "
+            "tr AS (SELECT doc_id, text FROM split WHERE b <> 0), "
+            "evg AS (SELECT DISTINCT "
+            "(('0x' || substr(md5('dc:' || g), 1, 15))::BIGINT) AS gh FROM ("
+            "SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] "
+            "|| ' ' || ws[i+4] AS g FROM ("
+            "SELECT ws, unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i "
+            "FROM (SELECT string_split(text, ' ') AS ws FROM ev)))), "
+            "tg AS (SELECT doc_id, "
+            "(('0x' || substr(md5('dc:' || g), 1, 15))::BIGINT) AS gh FROM ("
+            "SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || "
+            "ws[i+3] || ' ' || ws[i+4] AS g FROM ("
+            "SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM tr)))), "
+            "per AS (SELECT tg.doc_id, count(*)::BIGINT AS n_grams, "
+            "count(evg.gh)::BIGINT AS n_hit FROM tg LEFT JOIN evg USING (gh) "
+            "GROUP BY tg.doc_id) "
+            "SELECT tr.doc_id::BIGINT AS id, coalesce(per.n_grams, 0) AS n_grams, "
+            "coalesce(per.n_hit, 0) AS n_hit, "
+            "CASE WHEN coalesce(per.n_grams, 0) > 0 "
+            "THEN round(per.n_hit::DOUBLE / per.n_grams, 6) ELSE 0.0 END AS contam_frac, "
+            "(coalesce(per.n_hit, 0) > 0) AS contaminated "
+            "FROM tr LEFT JOIN per ON per.doc_id = tr.doc_id"
         ),
         "emb_cosine_topk": _cosine_topk_sql(),
         "emb_lsh_ann": _lsh_ann_sql(),

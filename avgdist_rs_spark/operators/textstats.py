@@ -94,6 +94,76 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+    repetitive) — within-document repetition signals, the Gopher-style
+    repetition filters (Rae et al. 2021, public method) re-expressed over a
+    whitespace token stream (this corpus has no newlines, so the line-based
+    rules become word-n-gram rules):
+
+    - ``dup_word_frac``      = 1 − distinct words / total words (within-row,
+      pure column expression — no shuffle at all for this signal),
+    - ``top_bigram_frac``    = occurrences of the most frequent word 2-gram
+      / total 2-gram occurrences,
+    - ``dup_trigram_frac``   = fraction of word-3-gram occurrences whose gram
+      appears more than once,
+    - ``repetitive``         = any signal past its published-style threshold
+      (0.3 / 0.18 / 0.18).
+
+    Scale shape: the n-gram signals are ONE explode + two groupBys keyed
+    (id, gram) then (id) — both map-side combinable, both partitioned by the
+    same leading key, no data-dependent fan-out beyond the explode itself.
+    Docs shorter than the gram width contribute zero occurrences and get
+    frac = 0 via the left join (mirrored in the oracle).
+    """
+    from .dedup import word_shingles
+
+    w = _words(F.col(text_col))
+    n = F.size(w)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_words"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(w)) / n, 6).alias(
+            "dup_word_frac"
+        ),
+    )
+
+    def _gram_agg(k: int, top: bool) -> DataFrame:
+        counts = (
+            word_shingles(docs, k, id_col, text_col, distinct=False)
+            .groupBy("id", "shingle")
+            .agg(F.count("*").alias("cnt"))
+        )
+        num = F.max("cnt") if top else F.sum(F.when(F.col("cnt") > 1, F.col("cnt")))
+        return counts.groupBy("id").agg(
+            F.round(F.coalesce(num, F.lit(0)) / F.sum("cnt"), 6).alias(
+                f"g{k}_frac"
+            )
+        )
+
+    out = (
+        base.join(_gram_agg(2, top=True), "id", "left")
+        .join(_gram_agg(3, top=False), "id", "left")
+        .select(
+            "id",
+            "n_words",
+            "dup_word_frac",
+            F.coalesce(F.col("g2_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce(F.col("g3_frac"), F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+    return out.withColumn(
+        "repetitive",
+        (
+            (F.col("dup_word_frac") > 0.3)
+            | (F.col("top_bigram_frac") > 0.18)
+            | (F.col("dup_trigram_frac") > 0.18)
+        ).cast("boolean"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, k: int = 4, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -142,6 +142,159 @@ def random_walks(
     )
 
 
+def _weighted_pick(nbrs, wts, u):
+    """First neighbor whose integer-weight prefix sum exceeds ``u`` — the
+    deterministic inverse-CDF draw, evaluated as one left fold over the
+    (sorted) neighbor array. Integer arithmetic end to end: both engines
+    compute the identical pick with zero float hazards."""
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).alias("idx"),
+        F.lit(0).alias("pos"),
+    )
+
+    def merge(acc, x):
+        cum2 = acc["cum"] + x
+        return F.struct(
+            cum2.alias("cum"),
+            F.when(acc["idx"] >= 0, acc["idx"])
+            .when(cum2 > u, acc["pos"])
+            .otherwise(F.lit(-1))
+            .alias("idx"),
+            (acc["pos"] + 1).alias("pos"),
+        )
+
+    idx = F.aggregate(wts, init, merge, lambda acc: acc["idx"])
+    return F.element_at(nbrs, (idx + 1).cast("int"))
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int,
+    seed: str = "n2v",
+    w_return: int = 1,
+    w_common: int = 4,
+    w_out: int = 2,
+    starts: DataFrame | None = None,
+    checkpoint_every: int | None = 2,
+    max_deg: int | None = None,
+) -> DataFrame:
+    """(walk_id, start, path, steps) — second-order biased walks (node2vec,
+    Grover & Leskovec 2016, KDD — public method) with the same deterministic
+    md5 draw stream as :func:`random_walks`, so a SQL oracle replays them
+    exactly.
+
+    node2vec weights a step from ``prev`` standing at ``cur`` by the
+    candidate's relation to ``prev``: return (candidate == prev) ∝ 1/p,
+    common neighbor (candidate adjacent to prev) ∝ 1, outward ∝ 1/q. Here
+    the three weights are INTEGER parameters (defaults 1/4/2 ≡ p=4, q=2:
+    discourage backtracking, favor BFS-ish locality) so the prefix-sum draw
+    is exact integer arithmetic in every engine — no float-threshold
+    cross-engine hazard. Step 1 has no ``prev`` and is the uniform draw.
+
+    Scale shape: the previous step's joined neighbor array is CARRIED as
+    ``pnbrs`` (prev's adjacency) — each superstep is still exactly ONE
+    equi-join on ``cur``, not two. The weight fold is O(deg(cur)) per row
+    and the membership probe O(deg(prev)) per candidate — QUADRATIC at a
+    hub, the known node2vec cost (every second-order sampler pays it: the
+    step distribution genuinely depends on all of the hub's neighbors).
+    ``max_deg`` is the standard treatment: a deterministic sorted-prefix
+    degree cap (``nbrs[:max_deg]``, engine-portable because the adjacency
+    is sorted-distinct), bounding per-step work to O(max_deg²) per walk.
+    ``None`` = exact. Undirected graphs only (no sinks, every walk reaches
+    full length).
+    """
+    if walk_length < 1:
+        raise ValueError("walk_length must be >= 1")
+    if min(w_return, w_common, w_out) < 1:
+        raise ValueError("integer weights must be >= 1")
+    adj = ranked_adjacency(edges, undirected=True)
+    if max_deg is not None:
+        if max_deg < 1:
+            raise ValueError("max_deg must be >= 1")
+        adj = adj.select(
+            "v",
+            F.slice("nbrs", 1, max_deg).alias("nbrs"),
+            F.least("deg", F.lit(max_deg).cast("long")).alias("deg"),
+        )
+    adj = adj.cache()
+
+    base = adj.select("v") if starts is None else starts.select("v")
+    a1 = adj.select(F.col("v").alias("_av"), "nbrs", "deg")
+    w = base.select(
+        F.col("v").cast("string").alias("walk_id"),
+        F.col("v").alias("start"),
+        F.col("v").alias("cur"),
+        F.array("v").alias("path"),
+    )
+
+    for t in range(1, walk_length + 1):
+        j = w.join(a1, w.cur == F.col("_av"), "inner")
+        h = portable_hash64(
+            F.concat_ws(":", F.lit(seed), F.col("walk_id"), F.lit(str(t)), F.col("cur"))
+        )
+        if t == 1:
+            nxt = F.element_at(
+                F.col("nbrs"), (F.pmod(h, F.col("deg")) + F.lit(1)).cast("int")
+            )
+            w = j.select(
+                "walk_id",
+                "start",
+                F.col("cur").alias("prev"),
+                F.col("nbrs").alias("pnbrs"),
+                nxt.alias("cur"),
+                F.concat(F.col("path"), F.array(nxt)).alias("path"),
+            )
+        else:
+            # Materialize weights, then the draw, then the pick as NAMED
+            # COLUMNS across separate projections: a higher-order function
+            # nested inside another's lambda mis-binds the inner lambda
+            # variables at analysis (and the re-inlined expression tree
+            # grows ~3x per step) — with plain column references each
+            # projection carries exactly one lambda level.
+            wts = F.transform(
+                F.col("nbrs"),
+                lambda c: F.when(c == F.col("prev"), F.lit(w_return))
+                .when(F.array_contains(F.col("pnbrs"), c), F.lit(w_common))
+                .otherwise(F.lit(w_out))
+                .cast("long"),
+            )
+            s1 = j.select(
+                "walk_id", "start", "cur", "path", "nbrs",
+                wts.alias("_wts"), h.alias("_h"),
+            )
+            total = F.aggregate(
+                F.col("_wts"), F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
+            s2 = s1.withColumn("_u", F.pmod(F.col("_h"), total))
+            nxt = _weighted_pick(F.col("nbrs"), F.col("_wts"), F.col("_u"))
+            w = s2.select(
+                "walk_id",
+                "start",
+                F.col("cur").alias("prev"),
+                F.col("nbrs").alias("pnbrs"),
+                nxt.alias("cur"),
+                F.concat(F.col("path"), F.array(nxt)).alias("path"),
+            )
+        # Unlike random_walks (tiny per-step expressions), the pick fold is a
+        # large expression tree; projection collapse re-inlines it into every
+        # downstream reference, so the composed plan grows ~exponentially per
+        # step (measured: 5 uncheckpointed steps analyze ~8x slower than
+        # barriered ones on a 10k-vertex graph; but barriering EVERY step
+        # doubles wall vs every-2 at sf0.1 — 12.9 s vs 5.9 s warm — because
+        # each barrier materializes the full walk state). The walk is
+        # deterministic, so barriers never change results.
+        if checkpoint_every and t % checkpoint_every == 0 and t < walk_length:
+            w = w.localCheckpoint(eager=False)
+
+    return w.select(
+        "walk_id",
+        "start",
+        "path",
+        (F.size("path") - F.lit(1)).cast("long").alias("steps"),
+    )
+
+
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """(center, context, cnt) — positional skip-gram pairs over each walk's
     path, context positions j with 0 < |i - j| <= window (positional, so a

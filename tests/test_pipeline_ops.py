@@ -423,3 +423,76 @@ def test_jaccard_prefix_strategy_equals_baseline(spark):
     )
     cand = _prefix_candidates(sh, 0.8).count()
     assert cand < co_shingled / 10, (cand, co_shingled)
+
+
+def test_repetition_stats(spark):
+    from avgdist_rs_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spam spam spam spam ham"),
+        (2, "hi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in repetition_stats(docs).collect()}
+    # doc 0: 9 words / 8 distinct; 8 distinct bigrams; 7 distinct trigrams
+    assert got[0]["n_words"] == 9
+    assert got[0]["dup_word_frac"] == pytest.approx(1 - 8 / 9, abs=1e-6)
+    assert got[0]["top_bigram_frac"] == pytest.approx(1 / 8, abs=1e-6)
+    assert got[0]["dup_trigram_frac"] == 0.0
+    assert got[0]["repetitive"] is False
+    # doc 1: "spam spam"x3 + "spam ham" bigrams; "spam spam spam"x2 trigrams
+    assert got[1]["dup_word_frac"] == pytest.approx(1 - 2 / 5, abs=1e-6)
+    assert got[1]["top_bigram_frac"] == pytest.approx(3 / 4, abs=1e-6)
+    assert got[1]["dup_trigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[1]["repetitive"] is True
+    # doc 2: shorter than the gram widths -> zero fracs, not NULL/missing
+    assert got[2]["n_words"] == 1 and got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.0 and got[2]["dup_trigram_frac"] == 0.0
+    assert got[2]["repetitive"] is False
+
+
+def _py_contamination(rows, k, mod, bucket):
+    """Pure-Python replay of decontam semantics (split, gram sets, overlap)."""
+    def grams(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    ev, tr = [], []
+    for i, t in rows:
+        (ev if py_hash64(str(i), "eval:") % mod == bucket else tr).append((i, t))
+    ev_g = set().union(*[grams(t) for _, t in ev]) if ev else set()
+    out = {}
+    for i, t in tr:
+        g = grams(t)
+        out[i] = (len(g), len(g & ev_g))
+    return out
+
+
+def test_contamination(spark):
+    from avgdist_rs_spark.operators.decontam import contamination, eval_split
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [(i, f"{shared} doc{i} filler words here") for i in range(12)] + [
+        (100, "totally distinct content with no overlap at all"),
+        (101, "xy"),  # shorter than k -> zero grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    mod, k = 3, 5
+    ev_ids = {r["doc_id"] for r in eval_split(docs, mod=mod).collect()}
+    exp_ev = {i for i, _ in rows if py_hash64(str(i), "eval:") % mod == 0}
+    assert ev_ids == exp_ev and 0 < len(ev_ids) < len(rows)
+
+    got = {
+        r["id"]: (r["n_grams"], r["n_hit"], r["contaminated"])
+        for r in contamination(docs, k=k, mod=mod).collect()
+    }
+    exp = _py_contamination(rows, k, mod, 0)
+    assert set(got) == set(exp)
+    for i, (n_g, n_h) in exp.items():
+        assert got[i] == (n_g, n_h, n_h > 0), i
+    # the shared 5-gram must actually contaminate (eval split hits some shared doc)
+    assert any(h > 0 for _, h, _ in got.values())
+    # zero-gram training doc is reported, not dropped
+    if 101 in got:
+        assert got[101] == (0, 0, False)

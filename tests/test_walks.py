@@ -138,3 +138,143 @@ def test_walk_plan_single_adjacency_build(spark):
     w = random_walks(e, walk_length=4)
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3  # steps hit the cached adjacency
+
+
+# --- node2vec (second-order biased walks) -----------------------------------
+
+from avgdist_rs_spark.operators.walks import node2vec_walks
+
+
+def _py_node2vec(pairs, walk_length, seed="n2v", wr=1, wc=4, wo=2):
+    """Driver-side replay of the exact second-order semantics: integer
+    weights (return/common/outward vs prev), inverse-CDF pick by h % total."""
+    es = set()
+    for s, d in pairs:
+        if s != d:
+            es.add((s, d))
+            es.add((d, s))
+    adj = {}
+    for s, d in sorted(es):
+        adj.setdefault(s, []).append(d)
+    out = {}
+    for v in sorted(adj):
+        prev, cur, path = None, v, [v]
+        for t in range(1, walk_length + 1):
+            nbrs = adj[cur]
+            h = py_hash64(f"{seed}:{v}:{t}:{cur}")
+            if t == 1:
+                nxt = nbrs[h % len(nbrs)]
+            else:
+                pn = set(adj[prev])
+                wts = [wr if c == prev else (wc if c in pn else wo) for c in nbrs]
+                u = h % sum(wts)
+                cum = 0
+                for c, wt in zip(nbrs, wts):
+                    cum += wt
+                    if cum > u:
+                        nxt = c
+                        break
+            prev, cur = cur, nxt
+            path.append(cur)
+        out[v] = path
+    return out
+
+
+def test_node2vec_matches_python_replay(spark):
+    w = node2vec_walks(_edges(spark, PAIRS), walk_length=7).collect()
+    exp = _py_node2vec(PAIRS, 7)
+    assert {r["walk_id"]: list(r["path"]) for r in w} == exp
+    assert all(r["steps"] == 7 and r["start"] == r["path"][0] for r in w)
+
+
+def test_node2vec_weights_change_walks(spark):
+    """The weight plumbing is live: extreme return weight forces backtracking
+    (path oscillates), and each weighted variant still matches the replay —
+    guards the nested-lambda mis-binding that silently mis-picked before the
+    weights/draw/pick were split into separate projections."""
+    e = _edges(spark, PAIRS)
+    heavy = {
+        r["walk_id"]: list(r["path"])
+        for r in node2vec_walks(e, 6, w_return=10**6, w_common=1, w_out=1).collect()
+    }
+    assert heavy == _py_node2vec(PAIRS, 6, wr=10**6, wc=1, wo=1)
+    # with overwhelming return weight, steps 2+ backtrack: path[t] == path[t-2]
+    for path in heavy.values():
+        assert all(path[t] == path[t - 2] for t in range(2, len(path)))
+    default = {
+        r["walk_id"]: list(r["path"]) for r in node2vec_walks(e, 6).collect()
+    }
+    assert default != heavy
+
+
+def test_node2vec_partition_invariant(spark):
+    e = _edges(spark, PAIRS)
+    a = sorted(map(tuple, node2vec_walks(e, 5).select("walk_id", "path").collect()))
+    b = sorted(
+        map(
+            tuple,
+            node2vec_walks(e.repartition(7), 5).select("walk_id", "path").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_node2vec_rejects_bad_params(spark):
+    e = _edges(spark, PAIRS)
+    with pytest.raises(ValueError):
+        node2vec_walks(e, 0)
+    with pytest.raises(ValueError):
+        node2vec_walks(e, 3, w_return=0)
+
+
+def test_node2vec_degree_cap_matches_python_replay(spark):
+    """max_deg truncates every adjacency to its sorted prefix — the walk is
+    still fully deterministic and engine-portable under the cap."""
+    # star-ish hub: h connects to many spokes, spokes chain pairwise
+    pairs = [("h", f"s{i}") for i in range(12)] + [
+        (f"s{i}", f"s{i+1}") for i in range(0, 11, 2)
+    ]
+    cap = 4
+
+    def replay():
+        es = set()
+        for s, d in pairs:
+            es.add((s, d)); es.add((d, s))
+        adj = {}
+        for s, d in sorted(es):
+            adj.setdefault(s, []).append(d)
+        adj = {v: n[:cap] for v, n in adj.items()}
+        out = {}
+        for v in sorted(adj):
+            prev, cur, path = None, v, [v]
+            for t in range(1, 6):
+                nbrs = adj[cur]
+                h = py_hash64(f"n2v:{v}:{t}:{cur}")
+                if t == 1:
+                    nxt = nbrs[h % len(nbrs)]
+                else:
+                    pn = set(adj[prev])
+                    wts = [1 if c == prev else (4 if c in pn else 2) for c in nbrs]
+                    u = h % sum(wts)
+                    cum = 0
+                    for c, wt in zip(nbrs, wts):
+                        cum += wt
+                        if cum > u:
+                            nxt = c
+                            break
+                prev, cur = cur, nxt
+                path.append(cur)
+            out[v] = path
+        return out
+
+    got = {
+        r["walk_id"]: list(r["path"])
+        for r in node2vec_walks(_edges(spark, pairs), 5, max_deg=cap).collect()
+    }
+    assert got == replay()
+    # the cap is live: hub "h" has 12 neighbors, walks only ever use first 4
+    full = {
+        r["walk_id"]: list(r["path"])
+        for r in node2vec_walks(_edges(spark, pairs), 5).collect()
+    }
+    assert got != full
