@@ -51,6 +51,7 @@ _EMB_DIM = 64
 _WALK_LEN, _SG_WIN = 5, 2  # random-walk corpus: steps per walk / skip-gram window
 _DC_K, _DC_MOD = 5, 20  # decontamination: word-gram width / eval-split modulus
 _N2V_CAP = 64  # node2vec: deterministic sorted-prefix degree cap at the hubs
+_KTRUSS_K, _KTRUSS_ROUNDS = 3, 8  # k-truss: k / oracle unroll depth (guarded)
 _SAMP_EPS, _SAMP_SLOT = 0.2, 16  # sampled-estimator defaults (k = ceil(log2 n / 2eps²))
 _PAIR_EPS, _PAIR_WINDOW = 0.3, 100  # pair-rejection: k at eps, draw window = 100·n
 _HB_P = 6  # HyperBall precision for the driver query (m=64 registers keeps the
@@ -936,6 +937,17 @@ def _q_node2vec_walks(spark, sf):
     )
 
 
+def _q_ktruss(spark, sf):
+    """Graph: k-truss decomposition (k=3 — every edge closing >= 1 triangle
+    inside the truss) with final in-truss support per edge. Edge-level peel
+    fixpoint over the same canonical a<b<c triangle join eg_triangle_count
+    audits; the oracle unrolls peel rounds with the usual error() guard."""
+    from avgdist_rs_spark.operators.ktruss import k_truss
+
+    t = k_truss(event_edges(_events(spark, sf)), k=_KTRUSS_K)
+    return t.select("a", "b", F.col("support").cast("long"))
+
+
 def _q_repetition(spark, sf):
     """Pipeline: Gopher-style within-document repetition signals — the
     quality-filter family's repetition leg (dup-word / top-bigram /
@@ -996,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_node2vec_walks": _q_node2vec_walks,
         "eg_label_propagation": _q_label_propagation,
         "eg_kcore": _q_kcore,
+        "eg_ktruss": _q_ktruss,
         "eg_scc": _q_scc,
         "eg_betweenness": _q_betweenness,
         "eg_link_prediction": _q_link_prediction,
@@ -1027,7 +1040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_groups": _q_dedup_groups,
         "doc_training_set": _q_training_set,
         "doc_corpus_stats": _q_corpus_stats,
-        "doc_stratified_sample": _q_stratified_sample,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_token_count": _q_token_count,
         "doc_lang_id": _q_lang_id,
@@ -1088,6 +1100,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       strictly harder ``events_stream_sessions`` (the stateful STREAMING
       sessionizer, pytest-asserted equal to the batch operator); displaced
       by the new ``eg_node2vec_walks``.
+    - ``doc_stratified_sample`` — the portable hash-bucket projection kernel
+      (pmod(md5(id), m) rate gates) is driver-covered by
+      ``doc_contamination``'s eval split (the identical projection) and the
+      per-stratum aggregation by ``doc_corpus_stats``; displaced by the new
+      ``eg_ktruss``.
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -1102,6 +1119,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "eg_reach_counts": _q_reach_counts,
         "events_session_stats": _q_session_stats,
+        "doc_stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1589,6 +1607,47 @@ def _graph_summary_sql() -> str:
         "round(3.0 * (SELECT t FROM tc) / (SELECT w FROM wdg), 6) "
         "ELSE NULL END AS transitivity, "
         "round((SELECT r FROM ast), 6) AS assortativity"
+    )
+
+
+def _ktruss_sql() -> str:
+    """Unrolled edge-peel with the usual convergence error() guard: tᵢ =
+    edges of tᵢ₋₁ whose triangle support within tᵢ₋₁ is ≥ k−2; fixpoint =
+    the k-truss, reported with the final in-truss support."""
+    k = _KTRUSS_K
+    parts = [
+        _EG,
+        "t0 AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM eg_edges WHERE src <> dst GROUP BY 1, 2)",
+    ]
+    for i in range(1, _KTRUSS_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"tr{i} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM t{p} e1 JOIN t{p} e2 ON e2.a = e1.b "
+            f"JOIN t{p} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM ("
+            f"SELECT x AS a, y AS b FROM tr{i} UNION ALL "
+            f"SELECT y, z FROM tr{i} UNION ALL SELECT x, z FROM tr{i}) GROUP BY a, b)"
+        )
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT t.a, t.b, coalesce(s.sup, 0) AS sup "
+            f"FROM t{p} t LEFT JOIN s{i} s ON s.a = t.a AND s.b = t.b "
+            f"WHERE coalesce(s.sup, 0) >= {k - 2})"
+        )
+    r = _KTRUSS_ROUNDS
+    parts.append(
+        f"ktguard AS (SELECT CASE WHEN (SELECT count(*) FROM t{r - 1}) <> "
+        f"(SELECT count(*) FROM t{r}) "
+        f"THEN error('oracle k-truss unroll not converged: raise _KTRUSS_ROUNDS') "
+        f"ELSE 1 END AS ok)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT a, b, sup::BIGINT AS support FROM t{r} "
+        "WHERE (SELECT ok FROM ktguard) = 1"
     )
 
 
@@ -2229,6 +2288,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "eg_node2vec_walks": _node2vec_sql(cap=_N2V_CAP),
         "eg_skipgram_pairs": _skipgram_sql(),
         "eg_kcore": _kcore_sql(),
+        "eg_ktruss": _ktruss_sql(),
         "eg_scc": _scc_sql(),
         "eg_betweenness": _betweenness_sql(),
         "eg_link_prediction": _link_prediction_sql(),

@@ -282,3 +282,47 @@ def test_cc_shortcut_equals_plain_and_converges_log_diameter(spark):
     b = {r["v"]: r["component"] for r in connected_components(g2, shortcut=True).collect()}
     assert a == b
     g2.unpersist()
+
+
+def test_k_truss_vs_networkx(spark):
+    """Edge-level peel: truss edge sets match networkx across k, and the
+    reported support equals the triangle count inside the final truss."""
+    nx = pytest.importorskip("networkx")
+    from avgdist_rs_spark.operators.ktruss import k_truss
+
+    # 5-clique + 4-clique sharing a vertex, a pendant triangle, a bridge
+    pairs = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in (4, 10, 11, 12) for b in (4, 10, 11, 12) if a < b]
+        + [(12, 20), (20, 21), (21, 22), (22, 20)]
+    )
+    edges = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    G = nx.Graph(pairs)
+    for k in (3, 4, 5):
+        rows = k_truss(edges, k=k).collect()
+        got_edges = {(r["a"], r["b"]) for r in rows}
+        T = nx.k_truss(G, k)
+        want_edges = {(min(a, b), max(a, b)) for a, b in T.edges()}
+        assert got_edges == want_edges, f"k={k}"
+        # support = triangles through the edge INSIDE the truss
+        for r in rows:
+            common = len(set(T[r["a"]]) & set(T[r["b"]]))
+            assert r["support"] == common, f"k={k} edge=({r['a']},{r['b']})"
+    # k=6 empties the graph (max clique is 5)
+    assert k_truss(edges, k=6).count() == 0
+    with pytest.raises(ValueError):
+        k_truss(edges, k=1)
+
+
+def test_k_truss_random_vs_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from avgdist_rs_spark.operators.ktruss import k_truss
+
+    rng = np.random.default_rng(5)
+    pairs = {tuple(sorted(p)) for p in rng.integers(0, 60, size=(400, 2)) if p[0] != p[1]}
+    edges = spark.createDataFrame(pd.DataFrame(sorted(pairs), columns=["src", "dst"]))
+    G = nx.Graph(sorted(pairs))
+    for k in (3, 4):
+        got = {(r["a"], r["b"]) for r in k_truss(edges, k=k).collect()}
+        want = {(min(a, b), max(a, b)) for a, b in nx.k_truss(G, k).edges()}
+        assert got == want, f"k={k}"
