@@ -761,6 +761,35 @@ def _q_stream_sessions(spark, sf):
     )
 
 
+def _q_docs_stream_dedup(spark, sf):
+    """Structured Streaming exact dedup: the documents table drained through
+    the BUILT-IN streaming aggregation (state = one row per content key),
+    value-compared to the batch groupBy SQL — the streaming-ingest analog of
+    doc_dedup_exact with the identical min-doc_id survivor rule."""
+    import os
+    import tempfile
+
+    from avgdist_rs_spark.streaming.docs_stream import dedup_stream, stream_docs
+    import uuid
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    d = tempfile.mkdtemp(prefix="doc_stream_")
+    os.symlink(f"{sf}/documents.parquet", os.path.join(d, "documents.parquet"))
+    s = stream_docs(spark, d)
+    q = (
+        dedup_stream(s)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("keep_id").cast("long"), F.col("dup_count").cast("long")
+    )
+
+
 def _q_session_stats(spark, sf):
     from avgdist_rs_spark.operators.sessions import session_stats
 
@@ -1105,6 +1134,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       ``doc_contamination``'s eval split (the identical projection) and the
       per-stratum aggregation by ``doc_corpus_stats``; displaced by the new
       ``eg_ktruss``.
+    - ``docs_stream_dedup`` — NEW this round, pytest tier because the window
+      is full: the availableNow drain machinery is driver-covered by
+      ``events_stream_sessions``, the dedup grouping by ``doc_dedup_exact``;
+      the genuinely new part (cross-trigger streaming-aggregation state
+      merge) is pytest-asserted with duplicates split across micro-batches
+      (``tests/test_streaming.py``).
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -1120,6 +1155,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_reach_counts": _q_reach_counts,
         "events_session_stats": _q_session_stats,
         "doc_stratified_sample": _q_stratified_sample,
+        "docs_stream_dedup": _q_docs_stream_dedup,
     }
 
 
@@ -2419,6 +2455,11 @@ def _all_oracle_sql() -> dict[str, str]:
         "eg_hyperball_nf": _hyperball_sql(),
         "eg_hyperball_ecc": _hyperball_ecc_sql(),
         "doc_dedup_exact": (
+            "SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS dup_count "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        # the streaming drain must equal the identical batch grouping
+        "docs_stream_dedup": (
             "SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS dup_count "
             "FROM documents GROUP BY md5(text)"
         ),

@@ -10,9 +10,14 @@ seeded, generated distributed — identical bits at any parallelism):
   over the broadcast-CSR kernel (supersteps = Σ per-seed BFS levels) — the
   reference's estimator hot loop.
 - ``pagerank``: distributed-DataFrame supersteps (shuffle-bound path).
+- ``minhash``: MinHash-LSH dedup over the transcripts' text column (the
+  pipeline family's hash-CPU-bound path: shingle explode + per-shingle
+  hashing map-side, one band-bucket exchange) — scaling evidence for the
+  corpus workload class, not just the graph one.
 
 Env: SPARK_GRAFT_CPUS (parallelism), SCALE_CONVS (default 100_000),
-SCALE_SEEDS (default 384), SCALE_PR_ITERS (default 6).
+SCALE_SEEDS (default 384), SCALE_PR_ITERS (default 6),
+SCALE_DOC_TURNS (default 3 — transcripts turns per conv used as docs).
 """
 
 from __future__ import annotations
@@ -79,6 +84,34 @@ def main() -> None:
     pagerank(g, iterations=pr_iters, metrics=met).count()
     pr_s = time.monotonic() - t0
 
+    # pipeline workload: MinHash-LSH dedup over the transcript text column —
+    # doc ids are portable hashes of (conv_id, turn_idx), so the input is the
+    # same bits at any parallelism; pair count doubles as the checksum
+    from pyspark.sql import functions as F
+
+    from avgdist_rs_spark.functions.hashing import portable_hash64
+    from avgdist_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    doc_turns = int(os.environ.get("SCALE_DOC_TURNS", "3"))
+    docs = (
+        tr.where(F.col("turn_idx") < doc_turns)
+        .select(
+            portable_hash64(
+                F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")),
+                salt="sdoc:",
+            ).alias("doc_id"),
+            F.col("text"),
+        )
+        .persist()
+    )
+    n_docs = docs.count()  # materialize input outside the timed region
+    mh_s, mh_pairs = float("inf"), -1
+    for _ in range(trials):
+        t0 = time.monotonic()
+        mh_pairs = minhash_lsh_pairs(docs, threshold=0.5).count()
+        mh_s = min(mh_s, time.monotonic() - t0)
+    docs.unpersist()
+
     print(
         json.dumps(
             {
@@ -94,6 +127,10 @@ def main() -> None:
                 "pr_iters": pr_iters,
                 "pr_wall_s": round(pr_s, 2),
                 "pr_supersteps_per_min": round(60.0 * pr_iters / pr_s, 2),
+                "mh_docs": n_docs,
+                "mh_wall_s": round(mh_s, 2),
+                "mh_docs_per_min": round(60.0 * n_docs / mh_s, 2),
+                "mh_pairs_checksum": mh_pairs,
             }
         )
     )

@@ -246,3 +246,86 @@ def test_stateful_sessionize_across_three_plus_triggers(spark, tmp_path):
         .query("min < @first_cut and max >= @first_cut")
     )
     assert len(spanning) > 0, "no session spans the first file boundary"
+
+
+# --- streaming exact dedup (built-in streaming aggregation state) -----------
+
+
+def test_streaming_dedup_matches_batch_across_triggers(spark, tmp_path):
+    """Duplicate content split ACROSS micro-batches must merge in the running
+    aggregation state: a full availableNow drain equals batch exact_dedup."""
+    from avgdist_rs_spark.operators.dedup import exact_dedup
+    from avgdist_rs_spark.streaming.docs_stream import dedup_stream, stream_docs
+
+    slices = [
+        [(0, "alpha beta gamma"), (1, "unique one"), (2, "delta epsilon")],
+        [(3, "alpha beta gamma"), (4, "unique two")],   # dup of 0, other slice
+        [(5, "delta epsilon"), (6, "alpha beta gamma")],  # dups of 2 and 0
+    ]
+    d = str(tmp_path / "docs_stream")
+    for i, rows in enumerate(slices):
+        pdf = pd.DataFrame(
+            [(i_, t, "en", "synth", len(t)) for i_, t in rows],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            os.path.join(d, f"batch={i}")
+        )
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    s = stream_docs(spark, f"{d}/batch=*", max_files_per_trigger=1)
+    q = (
+        dedup_stream(s)
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches >= 3, f"expected >=3 data micro-batches, got {n_batches}"
+
+    got = {
+        r["keep_id"]: r["dup_count"]
+        for r in spark.table("stream_dedup").collect()
+    }
+    # cross-trigger merge: the group seeded in slice 0 counts members from
+    # slices 1 and 2; the survivor is the global min doc_id
+    assert got == {0: 3, 1: 1, 2: 2, 4: 1}
+
+    all_docs = spark.read.parquet(f"{d}/batch=*")
+    want = {r["keep_id"]: r["dup_count"] for r in exact_dedup(all_docs).collect()}
+    assert got == want
+
+
+def test_streaming_dedup_on_corpus_single_drain(spark):
+    """Whole-corpus drain equals the batch operator on the real fixture."""
+    from avgdist_rs_spark.operators.dedup import exact_dedup
+    from avgdist_rs_spark.streaming.docs_stream import dedup_stream, stream_docs
+
+    import tempfile
+
+    # the file stream source requires a DIRECTORY; stage via symlink
+    d = tempfile.mkdtemp(prefix="doc_stream_corpus_")
+    os.symlink(
+        "/root/testdata/sf0.001/documents.parquet",
+        os.path.join(d, "documents.parquet"),
+    )
+    s = stream_docs(spark, d)
+    q = (
+        dedup_stream(s)
+        .writeStream.format("memory")
+        .queryName("stream_dedup_corpus")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["keep_id"]: r["dup_count"]
+        for r in spark.table("stream_dedup_corpus").collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert got == want
