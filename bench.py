@@ -211,6 +211,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     )
 
     timed("triangle_count", lambda: triangle_count(g))
+
+    # edge-level peel fixpoint over the same canonical triangle join; support
+    # aggregate forces the final peel round's join
+    from avgdist_rs_spark.operators.ktruss import k_truss
+
+    timed(
+        "ktruss_3",
+        lambda: k_truss(g.edges, k=3).agg(F.sum("support")).collect(),
+    )
     timed("minhash_lsh_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.8).count())
     # exact-join scale path (SSJoin/PPJoin prefix filter): at THIS corpus size
     # the quadratic co-shingle baseline is faster (the prefix pass pays two
@@ -278,6 +287,35 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         lambda: skipgram_pairs(walks_df, window=2).agg(F.sum("cnt")).collect(),
     )
     walks_df.unpersist()
+
+    # second-order biased walks (node2vec): the weighted draw is O(deg²) per
+    # hub step by nature, bounded by the deterministic sorted-prefix degree
+    # cap; sum(steps) forces the pick folds
+    from avgdist_rs_spark.operators.walks import node2vec_walks
+
+    timed(
+        "node2vec_walks",
+        lambda: node2vec_walks(g.edges, walk_length=8, max_deg=64)
+        .agg(F.sum("steps"))
+        .collect(),
+    )
+
+    # quality-filter family: within-doc repetition signals (explode + two
+    # keyed groupBys) and eval-set n-gram decontamination (broadcast gram set,
+    # training corpus never shuffled) — aggregates force the produced columns
+    from avgdist_rs_spark.operators.decontam import contamination
+    from avgdist_rs_spark.operators.textstats import repetition_stats
+
+    timed(
+        "repetition_stats",
+        lambda: repetition_stats(docs)
+        .agg(F.sum("n_words"), F.avg("dup_trigram_frac"))
+        .collect(),
+    )
+    timed(
+        "contamination",
+        lambda: contamination(docs, k=5).agg(F.sum("n_hit"), F.sum("n_grams")).collect(),
+    )
 
     extras["num_nodes"] = g.num_nodes
     extras["num_edges"] = g.num_edges
@@ -365,6 +403,14 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         timed(
             "10x_jaccard_prefix",
             lambda: jaccard_pairs(docs10, threshold=0.8, strategy="prefix").count(),
+        )
+        # decontamination slope: the eval gram set grows with the corpus but
+        # stays broadcast-small; the big side still never shuffles
+        timed(
+            "10x_contamination",
+            lambda: contamination(docs10, k=5)
+            .agg(F.sum("n_hit"), F.sum("n_grams"))
+            .collect(),
         )
         # embeddings: id-offset replicas (ANN cost is corpus-size-bound; the
         # query set stays 32, so this isolates the scan/assignment slope)
