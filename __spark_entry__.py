@@ -52,6 +52,7 @@ _WALK_LEN, _SG_WIN = 5, 2  # random-walk corpus: steps per walk / skip-gram wind
 _DC_K, _DC_MOD = 5, 20  # decontamination: word-gram width / eval-split modulus
 _N2V_CAP = 64  # node2vec: deterministic sorted-prefix degree cap at the hubs
 _KTRUSS_K, _KTRUSS_ROUNDS = 3, 8  # k-truss: k / oracle unroll depth (guarded)
+_PACK_L = 256  # sequence packing: tokens per training sequence
 _SAMP_EPS, _SAMP_SLOT = 0.2, 16  # sampled-estimator defaults (k = ceil(log2 n / 2eps²))
 _PAIR_EPS, _PAIR_WINDOW = 0.3, 100  # pair-rejection: k at eps, draw window = 100·n
 _HB_P = 6  # HyperBall precision for the driver query (m=64 registers keeps the
@@ -620,6 +621,30 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+def _q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing manifest (two-level distributed
+    prefix sum; oracle replays it with a single-window cumsum)."""
+    from avgdist_rs_spark.operators.pipeline import pack_sequences
+
+    return pack_sequences(_docs(spark, sf), seq_len=_PACK_L).select(
+        F.col("seq_id").cast("long"),
+        F.col("n_docs").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("first_doc").cast("long"),
+        F.col("last_doc").cast("long"),
+    )
+
+
+def _q_quality_resample(spark, sf):
+    """Quality-weighted importance resampling: keep doc iff
+    portable_hash64 mod 1e6 < round(quality^2 * 1e6)."""
+    from avgdist_rs_spark.operators.pipeline import quality_resample
+
+    return quality_resample(_docs(spark, sf), alpha=2).select(
+        F.col("doc_id").cast("long"), "quality", "p_keep"
+    )
+
+
 def _q_simhash(spark, sf):
     from avgdist_rs_spark.operators.dedup import simhash
 
@@ -1025,7 +1050,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_ann": _q_ivf_ann,
         "emb_near_dup_pairs": _q_emb_near_dup,
         "events_stream_sessions": _q_stream_sessions,
-        "media_metadata": _q_media_metadata,
         "media_features": _q_media_features,
         # -- graph family -------------------------------------------------
         "eg_edges": _q_edges,
@@ -1045,7 +1069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_avgdist_exact": _q_avgdist_exact,
         "eg_harmonic": _q_harmonic,
         "eg_closeness": _q_closeness,
-        "eg_top_central": _q_top_central,
         "eg_results_roundtrip": _q_results_roundtrip,
         "eg_telemetry_bfs": _q_telemetry_bfs,
         "eg_bfs_from_seed": _q_bfs_from_seed,
@@ -1069,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_groups": _q_dedup_groups,
         "doc_training_set": _q_training_set,
         "doc_corpus_stats": _q_corpus_stats,
+        "doc_pack_sequences": _q_pack_sequences,
+        "doc_quality_resample": _q_quality_resample,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_token_count": _q_token_count,
         "doc_lang_id": _q_lang_id,
@@ -1140,6 +1165,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       the genuinely new part (cross-trigger streaming-aggregation state
       merge) is pytest-asserted with duplicates split across micro-batches
       (``tests/test_streaming.py``).
+    - ``media_metadata`` — pure typed-metadata projection over the binary
+      column; the Arrow-batched multimodal path it fronts is driver-covered
+      by the strictly harder ``media_features`` (same attach_binary input,
+      plus the mapInPandas feature kernel); displaced by the new
+      ``doc_pack_sequences``.
+    - ``eg_top_central`` — O1 full sort is a bare orderBy-limit over the
+      driver-covered ``eg_harmonic`` scores (the kernel IS eg_harmonic; the
+      sort is Spark's TakeOrderedAndProject); displaced by the new
+      ``doc_quality_resample``.
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -1156,6 +1190,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": _q_session_stats,
         "doc_stratified_sample": _q_stratified_sample,
         "docs_stream_dedup": _q_docs_stream_dedup,
+        "media_metadata": _q_media_metadata,
+        "eg_top_central": _q_top_central,
     }
 
 
@@ -2129,6 +2165,40 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def _pack_sequences_sql() -> str:
+    """Single-window prefix-sum replay of the two-level distributed scan."""
+    L = _PACK_L
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
+         sum(len(string_split(text, ' '))::BIGINT) OVER (ORDER BY doc_id) AS cum
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, cum, cum - n AS strt,
+         unnest(generate_series(((cum - n) // {L})::BIGINT,
+                                ((cum - 1) // {L})::BIGINT)) AS seq_id
+  FROM t WHERE n > 0
+)
+SELECT seq_id, count(*)::BIGINT AS n_docs,
+       sum(least(cum, (seq_id + 1) * {L})
+           - greatest(strt, seq_id * {L}))::BIGINT AS n_tokens,
+       min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+FROM s GROUP BY seq_id
+"""
+
+
+def _quality_resample_sql() -> str:
+    h = "(('0x' || substr(md5('resample:' || CAST(q.id AS VARCHAR)), 1, 15))::BIGINT)"
+    parts = _lang_quality_parts()
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT q.id::BIGINT AS doc_id, q.quality, "
+        "round(q.quality * q.quality, 6) AS p_keep FROM qs q "
+        f"WHERE {h} % 1000000 < CAST(round(q.quality * q.quality * 1000000, 0) AS BIGINT)"
+    )
+
+
 def _planes_sql_literals(num_planes: int = 6, dim: int = _EMB_DIM, seed: int = 42) -> list[str]:
     from avgdist_rs_spark.operators.similarity import hyperplanes
 
@@ -2476,6 +2546,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_training_set": _training_set_sql(),
         "doc_corpus_stats": _corpus_stats_sql(),
         "doc_stratified_sample": _stratified_sample_sql(),
+        "doc_pack_sequences": _pack_sequences_sql(),
+        "doc_quality_resample": _quality_resample_sql(),
         "doc_simhash": _simhash_sql() + "SELECT id::BIGINT AS id, simhash FROM fp",
         "doc_simhash_pairs": (
             _simhash_sql()

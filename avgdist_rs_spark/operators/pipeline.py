@@ -136,3 +136,121 @@ def training_set_select(
         .where((F.col("lang_pred") == lang) & (F.col("quality") >= min_quality))
         .select(id_col, "lang_pred", "quality", "n_tokens")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step between a selected corpus
+    and a trainer: documents are laid end to end in ``doc_id`` order and the
+    token stream is cut into fixed-length sequences of ``seq_len``.
+
+    Returns one row per sequence: (seq_id, n_docs, n_tokens, first_doc,
+    last_doc) — the packing manifest (which documents feed which training
+    sequence, and how full the final ragged sequence is). n_tokens ==
+    seq_len everywhere except the last sequence.
+
+    Physical shape: a global prefix sum ordered by ``doc_id``, computed as
+    the classic TWO-LEVEL scan instead of one O(corpus) single-partition
+    window — (1) a window partitioned by the fixed-width id bucket
+    ``doc_id div bucket_width`` (deterministic, no sampling — unlike
+    repartitionByRange boundaries), (2) a window over the per-bucket totals
+    (corpus/bucket_width rows: 10^12 docs → ~10^6 bucket rows at the default
+    width, one slim task; add a third level before that is ever the
+    bottleneck). Each doc then explodes to the sequences its token span
+    overlaps (``floor(start/L) … floor((end-1)/L)``) and one groupBy on
+    seq_id builds the manifest. The oracle side can use the plain
+    ``sum() OVER (ORDER BY doc_id)`` — values are identical by construction.
+    """
+    from .textstats import _words
+
+    n = F.size(_words(F.col(text_col)))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n"),
+        F.expr(f"CAST({id_col} AS BIGINT) div {int(bucket_width)}").alias("_b"),
+    )
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("_b").orderBy("doc_id")
+    local = toks.withColumn("_lc", F.sum("n").over(w_in))
+    btot = toks.groupBy("_b").agg(F.sum("n").alias("_bt"))
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.withColumn("_off", F.coalesce(F.sum("_bt").over(w_b), F.lit(0))).select(
+        "_b", "_off"
+    )
+    cum = local.join(F.broadcast(boff), "_b").select(
+        "doc_id", "n", (F.col("_lc") + F.col("_off")).alias("_cum")
+    )
+    L = F.lit(int(seq_len))
+    spans = (
+        cum.where(F.col("n") > 0)
+        .withColumn("_start", F.col("_cum") - F.col("n"))
+        .select(
+            "doc_id",
+            "n",
+            "_cum",
+            "_start",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_start div {int(seq_len)}"),
+                    F.expr(f"(_cum - 1) div {int(seq_len)}"),
+                )
+            ).alias("seq_id"),
+        )
+    )
+    fill = F.least(F.col("_cum"), (F.col("seq_id") + 1) * L) - F.greatest(
+        F.col("_start"), F.col("seq_id") * L
+    )
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(fill).alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def quality_resample(
+    docs: DataFrame,
+    alpha: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "resample:",
+) -> DataFrame:
+    """Deterministic quality-weighted resampling — keep each document with
+    probability ``quality^alpha`` (integer ``alpha``; higher = sharper
+    preference for high-quality docs), the importance-sampling step that
+    shapes a corpus's quality mix without a hard cutoff.
+
+    The keep decision is ``portable_hash64(salt || id) mod 10^6 <
+    round(quality^alpha · 10^6)`` — a pure projection + filter (no shuffle,
+    no RNG state), replayable bit-exactly by any engine with md5. ``alpha``
+    is applied by repeated multiplication (IEEE-exact, engine-portable — no
+    libm ``pow`` variance). Returns (doc_id, quality, p_keep) for keepers.
+    """
+    if alpha < 1:
+        raise ValueError("alpha must be a positive integer")
+    from ..functions.hashing import portable_hash64
+    from .textstats import quality_score
+
+    qs = quality_score(docs, id_col, text_col).select(
+        F.col("id").alias("doc_id"), "quality"
+    )
+    p = F.col("quality")
+    for _ in range(alpha - 1):
+        p = p * F.col("quality")
+    h = portable_hash64(F.col("doc_id").cast("string"), salt=salt)
+    keep = F.pmod(h, F.lit(1_000_000)) < F.round(p * 1_000_000, 0).cast("long")
+    return (
+        qs.withColumn("p_keep", F.round(p, 6))
+        .where(keep)
+        .select("doc_id", "quality", "p_keep")
+    )
