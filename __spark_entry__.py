@@ -621,6 +621,26 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+_KHOP_FANOUTS = (4, 3)  # per-hop sample caps (GraphSAGE fan-out)
+_KHOP_SEED_MOD = 499  # seeds = events with event_id % mod == 0
+
+
+def _q_khop_sample(spark, sf):
+    """GraphSAGE-style deterministic k-hop neighborhood sample over the
+    session graph: portable-md5 pick order, one row_number window per hop —
+    the oracle replays every pick."""
+    from avgdist_rs_spark.operators.neighbors import khop_sample
+
+    ev = _events(spark, sf)
+    edges = event_edges(ev)
+    seeds = ev.where(F.col("event_id") % _KHOP_SEED_MOD == 0).select(
+        F.concat(F.lit("E:"), F.col("event_id").cast("string")).alias("seed")
+    )
+    return khop_sample(edges, seeds, fanouts=_KHOP_FANOUTS).select(
+        "seed", F.col("hop").cast("long"), "parent", "child"
+    )
+
+
 def _q_pack_sequences(spark, sf):
     """Concat-and-chunk sequence packing manifest (two-level distributed
     prefix sum; oracle replays it with a single-window cumsum)."""
@@ -1065,7 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_scc": _q_scc,
         "eg_betweenness": _q_betweenness,
         "eg_link_prediction": _q_link_prediction,
-        "eg_graph_summary": _q_graph_summary,
+        "eg_khop_sample": _q_khop_sample,
         "eg_avgdist_exact": _q_avgdist_exact,
         "eg_harmonic": _q_harmonic,
         "eg_closeness": _q_closeness,
@@ -1174,6 +1194,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       driver-covered ``eg_harmonic`` scores (the kernel IS eg_harmonic; the
       sort is Spark's TakeOrderedAndProject); displaced by the new
       ``doc_quality_resample``.
+    - ``eg_graph_summary`` — a one-row readout whose every ingredient kernel
+      is separately driver-covered this round (degrees by ``eg_out_degrees``,
+      triangles by ``eg_triangle_count``, transitivity/lcc by
+      ``eg_clustering``); displaced by the new ``eg_khop_sample``.
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -1192,6 +1216,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stream_dedup": _q_docs_stream_dedup,
         "media_metadata": _q_media_metadata,
         "eg_top_central": _q_top_central,
+        "eg_graph_summary": _q_graph_summary,
     }
 
 
@@ -2188,6 +2213,38 @@ FROM s GROUP BY seq_id
 """
 
 
+def _khop_sql() -> str:
+    """Unrolled per-hop replay: one row_number window per hop, same md5 pick
+    order as the engine (ties by child)."""
+
+    def hkey(hop: int) -> str:
+        return (
+            f"(('0x' || substr(md5('khop:' || seed || ':' || {hop} || ':' || "
+            "parent || ':' || child), 1, 15))::BIGINT)"
+        )
+
+    parts = [
+        f"seeds AS (SELECT 'E:' || CAST(event_id AS VARCHAR) AS seed "
+        f"FROM events WHERE event_id % {_KHOP_SEED_MOD} = 0)",
+        "f0 AS (SELECT seed, seed AS v FROM seeds)",
+    ]
+    sel = []
+    for hop, fan in enumerate(_KHOP_FANOUTS, start=1):
+        parts.append(
+            f"h{hop} AS (SELECT seed, {hop} AS hop, v AS parent, dst AS child, "
+            f"row_number() OVER (PARTITION BY seed, v "
+            f"ORDER BY {hkey(hop)}, child) AS rn "
+            f"FROM f{hop - 1} JOIN eg_edges e ON e.src = f{hop - 1}.v "
+            f"WHERE e.src != e.dst)"
+        )
+        parts.append(
+            f"p{hop} AS (SELECT seed, hop, parent, child FROM h{hop} WHERE rn <= {fan})"
+        )
+        parts.append(f"f{hop} AS (SELECT DISTINCT seed, child AS v FROM p{hop})")
+        sel.append(f"SELECT seed, hop::BIGINT AS hop, parent, child FROM p{hop}")
+    return f"WITH {_EG}, " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
 def _quality_resample_sql() -> str:
     h = "(('0x' || substr(md5('resample:' || CAST(q.id AS VARCHAR)), 1, 15))::BIGINT)"
     parts = _lang_quality_parts()
@@ -2548,6 +2605,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": _stratified_sample_sql(),
         "doc_pack_sequences": _pack_sequences_sql(),
         "doc_quality_resample": _quality_resample_sql(),
+        "eg_khop_sample": _khop_sql(),
         "doc_simhash": _simhash_sql() + "SELECT id::BIGINT AS id, simhash FROM fp",
         "doc_simhash_pairs": (
             _simhash_sql()
