@@ -621,6 +621,24 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+def _q_events_asof(spark, sf):
+    """As-of enrichment: each purchase joined to the user's latest
+    prior-or-equal click (union-sort carry-forward; the oracle uses a
+    LATERAL top-1 — two independent algorithms, one answer)."""
+    from avgdist_rs_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf)
+    left = ev.where(F.col("event_type") == "purchase")
+    right = ev.where(F.col("event_type") == "click")
+    return asof_join(left, right, on="user_id").select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("asof_event_id").cast("long"),
+        F.col("asof_value"),
+        F.col("lag_s").cast("long"),
+    )
+
+
 _KHOP_FANOUTS = (4, 3)  # per-hop sample caps (GraphSAGE fan-out)
 _KHOP_SEED_MOD = 499  # seeds = events with event_id % mod == 0
 
@@ -1093,7 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_telemetry_bfs": _q_telemetry_bfs,
         "eg_bfs_from_seed": _q_bfs_from_seed,
         "eg_zdd_paths": _q_zdd_paths,
-        "eg_simple_path_count": _q_simple_path_count,
+        "events_asof": _q_events_asof,
         "eg_harmonic_histogram": _q_harmonic_histogram,
         "eg_avgdist_sampled": _q_avgdist_sampled,
         "eg_avgdist_weighted": _q_avgdist_weighted,
@@ -1198,6 +1216,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       is separately driver-covered this round (degrees by ``eg_out_degrees``,
       triangles by ``eg_triangle_count``, transitivity/lcc by
       ``eg_clustering``); displaced by the new ``eg_khop_sample``.
+    - ``eg_simple_path_count`` — K8's count readout: driver-covered by the
+      strictly stronger ``eg_zdd_paths`` (the ZDD enumerates the identical
+      path set, so a count defect flips it); the count-only DP kernel stays
+      SQL-oracled here and networkx-paritied in ``tests/test_simpath.py``;
+      displaced by the new ``events_asof``.
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -1217,6 +1240,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "eg_top_central": _q_top_central,
         "eg_graph_summary": _q_graph_summary,
+        "eg_simple_path_count": _q_simple_path_count,
     }
 
 
@@ -2213,6 +2237,23 @@ FROM s GROUP BY seq_id
 """
 
 
+def _events_asof_sql() -> str:
+    return """
+SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+       c.event_id::BIGINT AS asof_event_id, c.value AS asof_value,
+       CASE WHEN c.event_id IS NULL THEN NULL
+            ELSE floor(epoch(p.ts))::BIGINT - floor(epoch(c.ts))::BIGINT
+       END AS lag_s
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT event_id, value, ts FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) c ON true
+WHERE p.event_type = 'purchase'
+"""
+
+
 def _khop_sql() -> str:
     """Unrolled per-hop replay: one row_number window per hop, same md5 pick
     order as the engine (ties by child)."""
@@ -2606,6 +2647,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_pack_sequences": _pack_sequences_sql(),
         "doc_quality_resample": _quality_resample_sql(),
         "eg_khop_sample": _khop_sql(),
+        "events_asof": _events_asof_sql(),
         "doc_simhash": _simhash_sql() + "SELECT id::BIGINT AS id, simhash FROM fp",
         "doc_simhash_pairs": (
             _simhash_sql()
