@@ -621,6 +621,19 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+def _q_msf(spark, sf):
+    """Borůvka minimum spanning forest of the (undirected) session graph,
+    portable-md5 edge weights. No SQL oracle (union-find is not
+    ANSI-expressible) — the driver records the rows-only check; exact parity
+    is pytest-carried (tests/test_msf.py, unique-MSF networkx replay)."""
+    from avgdist_rs_spark.operators.msf import minimum_spanning_forest
+
+    edges = event_edges(_events(spark, sf))
+    return minimum_spanning_forest(edges).select(
+        "u", "v", F.col("w").cast("long")
+    )
+
+
 def _q_events_asof(spark, sf):
     """As-of enrichment: each purchase joined to the user's latest
     prior-or-equal click (union-sort carry-forward; the oracle uses a
@@ -1139,7 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_repetition,
         "doc_contamination": _q_contamination,
         "emb_cosine_topk": _q_cosine_topk,
-        "emb_lsh_ann": _q_lsh_ann,
+        "eg_msf": _q_msf,
     }
     if len(q) > 50:  # not an assert: must hold under `python -O` too
         raise RuntimeError(
@@ -1221,6 +1234,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       path set, so a count defect flips it); the count-only DP kernel stays
       SQL-oracled here and networkx-paritied in ``tests/test_simpath.py``;
       displaced by the new ``events_asof``.
+    - ``emb_lsh_ann`` — the hyperplane-bucket kernel is driver-covered inside
+      ``emb_near_dup_pairs`` (which LSH-buckets the same embeddings before
+      its cosine verify); the multi-table recall lever stays SQL-oracled
+      here and recall-tested in ``tests/test_pipeline_ops.py``; displaced by
+      the new ``eg_msf``.
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -1241,6 +1259,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_top_central": _q_top_central,
         "eg_graph_summary": _q_graph_summary,
         "eg_simple_path_count": _q_simple_path_count,
+        "emb_lsh_ann": _q_lsh_ann,
     }
 
 

@@ -70,18 +70,47 @@ class Checkpointer:
     Parquet footer/partition layout, the logical lineage in the manifest.
     """
 
+    #: every Nth lineage cut goes through a Parquet roundtrip instead of
+    #: localCheckpoint. Measured on Spark 4.1.2 (tests/test_checkpoint_
+    #: salting.py::test_chained_local_checkpoints_stay_flat): a CHAIN of
+    #: localCheckpoints — each checkpointed from the previous one — starts
+    #: multiplying its per-cut job cost ~2.5× per link past ~12 links (0.2 s
+    #: → 22 s by link 20 on a 7-row table), even though both the logical
+    #: plan (LogicalRDD) and rdd.toDebugString stay flat, so the cost is
+    #: Spark-internal to the checkpoint chain itself. A Parquet write/read
+    #: RESETS the chain (measured flat through 40+ iterations with a reset
+    #: every 10). 12 sits just under the onset: short loops (pagerank 10,
+    #: cc ~12 supersteps) pay at most one roundtrip, long fixpoints reset
+    #: before the multiplier bites (measured: resets at 9/19/29 keep a
+    #: 40-link chain at 0.14-0.37 s/cut).
+    HARD_EVERY = 12
+
     def __init__(
         self,
         spark: SparkSession,
         name: str = "state",
         checkpoint_dir: str | None = None,
         every: int = 4,
+        hard_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.name = name
         self.dir = checkpoint_dir
         self.every = max(1, every)
+        self.hard_every = self.HARD_EVERY if hard_every is None else max(1, hard_every)
         self._last_persisted: DataFrame | None = None
+        self._n_cuts = 0
+        self._tmpdir: str | None = None
+
+    def _hard_cut(self, df: DataFrame) -> DataFrame:
+        """Parquet-roundtrip lineage cut: resets the localCheckpoint chain."""
+        import tempfile
+
+        if self._tmpdir is None:
+            self._tmpdir = tempfile.mkdtemp(prefix=f"ckpt_hard_{self.name}_")
+        path = os.path.join(self._tmpdir, f"cut={self._n_cuts}")
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
 
     # ------------------------------------------------------------------ paths
     def _step_path(self, step: int) -> str:
@@ -130,7 +159,15 @@ class Checkpointer:
         one Spark job per superstep instead of two. Only valid when the
         caller immediately runs an action that touches every partition (a
         global aggregate does); durable cuts ignore it (the Parquet write is
-        the materialization)."""
+        the materialization).
+
+        Every ``hard_every``-th cut is a Parquet roundtrip regardless of
+        cadence or laziness — chained localCheckpoints accumulate
+        Spark-internal per-cut cost past ~12 links (see HARD_EVERY) and the
+        roundtrip resets the chain."""
+        self._n_cuts += 1
+        if self._n_cuts % self.hard_every == 0 and self.dir is None:
+            return self._hard_cut(df)
         if superstep % self.every != 0 or self.dir is None:
             return df.localCheckpoint(eager=not lazy)
         return self.cut(df, superstep, rows=rows, wall_s=wall_s)

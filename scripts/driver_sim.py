@@ -83,6 +83,15 @@ def main() -> None:
         t0 = time.monotonic()
         try:
             got = _norm(fn(spark, args.sf_dir).toPandas())
+            if name not in oracles:
+                # mirror the driver's weaker rows-only check for documented
+                # non-SQL-expressible queries (tests/test_entry.py ROWS_ONLY)
+                results[name] = {
+                    "rows_only": True, "spark_rows": int(len(got)), "err": None,
+                }
+                print(f"ROWSONLY {name:30s} rows={len(got)} "
+                      f"{time.monotonic() - t0:9.2f}s", flush=True)
+                continue
             want = _norm(con.execute(oracles[name]).fetchdf())
             rows = bool(len(got) == len(want))
             schema = bool(list(got.columns) == list(want.columns))

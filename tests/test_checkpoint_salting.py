@@ -126,3 +126,35 @@ def test_bfs_frontier_resume_from_checkpoint(spark, g, tmp_path):
         bfs_frontier(g, _seeds_df(spark, seeds))
     ).toPandas().set_index("seed").sort_index()
     pd.testing.assert_frame_equal(resumed, full)
+
+
+def test_chained_local_checkpoints_stay_flat(spark):
+    """Regression for the Spark 4.1.2 chained-localCheckpoint cost blow-up:
+    a chain of localCheckpoints (each checkpointed FROM the previous one)
+    multiplies its per-cut job cost ~2.5x per link past ~12 links even though
+    the logical plan and rdd lineage stay flat. Checkpointer.step resets the
+    chain with a Parquet roundtrip every HARD_EVERY cuts; 30 chained cuts of
+    a self-join loop must therefore stay near-constant-cost (the unfixed
+    chain takes >60s per cut by link 21 — measured before the fix)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from avgdist_rs_spark.streaming.superstep import Checkpointer
+
+    ckpt = Checkpointer(spark, name="chainflat", every=1)
+    par = spark.createDataFrame(
+        [(i, (i + 1) % 7) for i in range(7)], "c long, p long"
+    ).localCheckpoint(eager=True)
+    early, late = [], []
+    for j in range(30):
+        t0 = time.monotonic()
+        g = par.select(F.col("c").alias("_pc"), F.col("p").alias("_pp"))
+        jumped = par.join(g, par.p == F.col("_pc"), "left").select(
+            "c", F.coalesce("_pp", "p").alias("p")
+        )
+        par = ckpt.step(jumped, j + 1)
+        (early if j < 10 else late).append(time.monotonic() - t0)
+    assert par.count() == 7
+    # the unfixed blow-up is ~100x by link 25; flat-with-noise is <5x
+    assert max(late) < 5 * max(max(early), 0.2), (early, late)

@@ -58,12 +58,20 @@ def test_query_vs_oracle(spark, ddb, name, fn):
     pd.testing.assert_frame_equal(g, w, check_dtype=False, atol=1e-9, obj=name)
 
 
+#: queries registered WITHOUT a DuckDB oracle — each must be exact-verified
+#: elsewhere (the driver records its weaker rows-only check transparently):
+#: - eg_msf: Borůvka MSF — iterative contraction is not ANSI-SQL-expressible
+#:   (union-find); exact parity lives in tests/test_msf.py (unique-MSF
+#:   networkx Kruskal replay on identical weights + parallelism invariance).
+ROWS_ONLY = {"eg_msf"}
+
+
 def test_all_queries_have_oracle_or_documented_omission():
     qs = set(entry_mod.queries()) | set(entry_mod.extra_queries())
     os_ = set(ORACLES)
     assert os_ <= qs
     omitted = qs - os_
-    assert omitted == set()  # every query is value-verified against DuckDB
+    assert omitted == ROWS_ONLY  # every other query is value-verified vs DuckDB
 
 
 def test_registry_fits_driver_window():
