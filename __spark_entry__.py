@@ -621,6 +621,21 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+_BPE_MERGES = 12  # merge-table depth for the driver query
+
+
+def _q_bpe_merges(spark, sf):
+    """BPE merge training over the corpus (rank, left, right, pair_count).
+    No SQL oracle (per-round argmax + sequential rewrite, same class as
+    union-find) — rows-only driver check; exact parity with a from-scratch
+    pure-Python trainer is pytest-carried (tests/test_bpe.py)."""
+    from avgdist_rs_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf), num_merges=_BPE_MERGES).select(
+        F.col("rank").cast("long"), "left", "right", F.col("pair_count").cast("long")
+    )
+
+
 def _q_msf(spark, sf):
     """Borůvka minimum spanning forest of the (undirected) session graph,
     portable-md5 edge weights. No SQL oracle (union-find is not
@@ -1108,7 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_triangle_count": _q_triangle_count,
         "eg_connected_components": _q_connected_components,
         "eg_pagerank": _q_pagerank,
-        "eg_random_walks": _q_random_walks,
+        "doc_bpe_merges": _q_bpe_merges,
         "eg_node2vec_walks": _q_node2vec_walks,
         "eg_label_propagation": _q_label_propagation,
         "eg_kcore": _q_kcore,
@@ -1239,6 +1254,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       its cosine verify); the multi-table recall lever stays SQL-oracled
       here and recall-tested in ``tests/test_pipeline_ops.py``; displaced by
       the new ``eg_msf``.
+    - ``eg_random_walks`` — the walk kernel runs INSIDE the driver-covered
+      ``eg_skipgram_pairs`` (which generates the walks it windows, so a walk
+      defect flips it), and the step-by-step SQL replay stays oracled here;
+      displaced by the new ``doc_bpe_merges``.
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -1260,6 +1279,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_graph_summary": _q_graph_summary,
         "eg_simple_path_count": _q_simple_path_count,
         "emb_lsh_ann": _q_lsh_ann,
+        "eg_random_walks": _q_random_walks,
     }
 
 

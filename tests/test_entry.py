@@ -63,7 +63,11 @@ def test_query_vs_oracle(spark, ddb, name, fn):
 #: - eg_msf: Borůvka MSF — iterative contraction is not ANSI-SQL-expressible
 #:   (union-find); exact parity lives in tests/test_msf.py (unique-MSF
 #:   networkx Kruskal replay on identical weights + parallelism invariance).
-ROWS_ONLY = {"eg_msf"}
+#: - doc_bpe_merges: BPE training — per-round argmax + sequential
+#:   non-overlapping rewrite (same class); exact parity with a from-scratch
+#:   pure-Python trainer lives in tests/test_bpe.py (merge sequence, counts,
+#:   encode, parallelism invariance).
+ROWS_ONLY = {"eg_msf", "doc_bpe_merges"}
 
 
 def test_all_queries_have_oracle_or_documented_omission():
