@@ -191,6 +191,9 @@ def minimum_spanning_forest(
 def msf_total_weight(edges: DataFrame, weight_col: str | None = None):
     """One-row (n_edges, total_weight) summary of the forest."""
     f = minimum_spanning_forest(edges, weight_col)
+    # sum as double: default weights are 60-bit hashes, whose long sum
+    # overflows under ANSI mode within ~8 edges
     return f.agg(
-        F.count("*").alias("n_edges"), F.sum("w").alias("total_weight")
+        F.count("*").alias("n_edges"),
+        F.sum(F.col("w").cast("double")).alias("total_weight"),
     )

@@ -317,6 +317,52 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         lambda: contamination(docs, k=5).agg(F.sum("n_hit"), F.sum("n_grams")).collect(),
     )
 
+    # round-5 additions: packing / sampling / enrichment / tokenizer / MSF
+    from avgdist_rs_spark.operators.asof import asof_join
+    from avgdist_rs_spark.operators.bpe import bpe_train
+    from avgdist_rs_spark.operators.msf import minimum_spanning_forest
+    from avgdist_rs_spark.operators.neighbors import khop_sample
+    from avgdist_rs_spark.operators.pipeline import pack_sequences
+
+    # two-level distributed prefix scan + explode + manifest groupBy
+    timed(
+        "pack_sequences",
+        lambda: pack_sequences(docs, seq_len=2048)
+        .agg(F.sum("n_tokens"), F.max("seq_id"))
+        .collect(),
+    )
+    # GraphSAGE fan-out: 2 hops, (seed,parent)-windowed md5 pick
+    khop_seeds = g.edges.select(F.col("src").alias("seed")).distinct().where(
+        F.col("seed") % 97 == 0
+    )
+    timed(
+        "khop_sample",
+        lambda: khop_sample(g.edges, khop_seeds, fanouts=(4, 3)).count(),
+    )
+    # as-of join: union-sort carry-forward purchase<-click enrichment
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed(
+        "asof_join",
+        lambda: asof_join(
+            ev.where(F.col("event_type") == "purchase"),
+            ev.where(F.col("event_type") == "click"),
+            on="user_id",
+        )
+        .agg(F.sum("lag_s"), F.count("*"))
+        .collect(),
+    )
+    # BPE: 8 merges over the word-frequency state (argmax + Arrow rewrite
+    # per merge — the per-merge fixed cost IS the measurement)
+    timed("bpe_train_8", lambda: bpe_train(docs, num_merges=8).count())
+    # Borůvka MSF over the session graph: O(log n) contraction rounds
+    timed(
+        "msf",
+        lambda: minimum_spanning_forest(g.edges)
+        # bit_xor, not sum: 60-bit hash weights overflow ANSI-mode long sums
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(w)"))
+        .collect(),
+    )
+
     extras["num_nodes"] = g.num_nodes
     extras["num_edges"] = g.num_edges
 
