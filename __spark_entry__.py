@@ -622,6 +622,22 @@ def _q_stratified_sample(spark, sf):
 
 
 _BPE_MERGES = 12  # merge-table depth for the driver query
+_SSSP_ROUNDS = 20  # oracle min-plus unroll; guarded (errors if not converged)
+
+
+def _q_sssp(spark, sf):
+    """Weighted multi-source shortest paths (Bellman-Ford fused superstep,
+    frontier-only relaxation) from the deterministic event seed set over
+    md5 pseudo-weights in [1,9] — the oracle re-derives every weight and
+    replays the fixpoint as guarded unrolled min-plus rounds."""
+    from avgdist_rs_spark.operators.sssp import hash_weights, sssp
+
+    ev = _events(spark, sf)
+    edges = event_edges(ev)
+    src = ev.where(F.col("event_id") % _KHOP_SEED_MOD == 0).select(
+        F.concat(F.lit("E:"), F.col("event_id").cast("string")).alias("v")
+    )
+    return sssp(hash_weights(edges), src).select("v", "dist")
 
 
 def _q_bpe_merges(spark, sf):
@@ -1161,7 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": _q_pack_sequences,
         "doc_quality_resample": _q_quality_resample,
         "doc_simhash_pairs": _q_simhash_pairs,
-        "doc_token_count": _q_token_count,
+        "eg_sssp": _q_sssp,
         "doc_lang_id": _q_lang_id,
         "doc_quality": _q_quality,
         "doc_repetition": _q_repetition,
@@ -1258,6 +1274,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       ``eg_skipgram_pairs`` (which generates the walks it windows, so a walk
       defect flips it), and the step-by-step SQL replay stays oracled here;
       displaced by the new ``doc_bpe_merges``.
+    - ``doc_token_count`` — whitespace token counting is driver-covered by
+      ``doc_quality`` (same split kernel feeds its n_tokens/gates) and
+      ``doc_corpus_stats`` (total_tokens); the distinct-ratio kernel by
+      ``doc_quality``; the BPE-ish regex count stays SQL-oracled here and
+      subword costs are now first-class via ``doc_bpe_merges``; displaced by
+      the new ``eg_sssp``.
     """
     return {
         "eg_degree_histogram": _q_degree_histogram,
@@ -1280,6 +1302,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eg_simple_path_count": _q_simple_path_count,
         "emb_lsh_ann": _q_lsh_ann,
         "eg_random_walks": _q_random_walks,
+        "doc_token_count": _q_token_count,
     }
 
 
@@ -2276,6 +2299,36 @@ FROM s GROUP BY seq_id
 """
 
 
+def _sssp_sql() -> str:
+    """Guarded unrolled min-plus replay of the Bellman-Ford fixpoint."""
+    h = "(('0x' || substr(md5('sw:' || src || '>' || dst), 1, 15))::BIGINT)"
+    parts = [
+        f"wgt AS MATERIALIZED (SELECT src, dst, "
+        f"(({h} % 9 + 9) % 9 + 1)::DOUBLE AS w FROM eg_edges WHERE src != dst)",
+        "sd0 AS (SELECT 'E:' || CAST(event_id AS VARCHAR) AS v, 0.0::DOUBLE AS dist "
+        f"FROM events WHERE event_id % {_KHOP_SEED_MOD} = 0)",
+    ]
+    for k in range(1, _SSSP_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: each round references the previous
+        # twice, and DuckDB inlines plain CTEs per reference (2^rounds blowup)
+        parts.append(
+            f"sd{k} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM ("
+            f"SELECT v, dist FROM sd{k - 1} UNION ALL "
+            f"SELECT e.dst AS v, d.dist + e.w AS dist "
+            f"FROM sd{k - 1} d JOIN wgt e ON e.src = d.v) GROUP BY v)"
+        )
+    last, prev = f"sd{_SSSP_ROUNDS}", f"sd{_SSSP_ROUNDS - 1}"
+    parts.append(
+        "sguard AS (SELECT CASE WHEN (SELECT count(*) FROM "
+        f"((SELECT * FROM {last}) EXCEPT (SELECT * FROM {prev}))) = 0 "
+        "THEN 1 ELSE 1/0 END AS ok)"  # 1/0: error loudly if under-iterated
+    )
+    return (
+        f"WITH {_EG}, " + ",\n".join(parts)
+        + f"\nSELECT v, dist FROM {last} WHERE (SELECT ok FROM sguard) = 1"
+    )
+
+
 def _events_asof_sql() -> str:
     return """
 SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
@@ -2687,6 +2740,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_quality_resample": _quality_resample_sql(),
         "eg_khop_sample": _khop_sql(),
         "events_asof": _events_asof_sql(),
+        "eg_sssp": _sssp_sql(),
         "doc_simhash": _simhash_sql() + "SELECT id::BIGINT AS id, simhash FROM fp",
         "doc_simhash_pairs": (
             _simhash_sql()

@@ -354,6 +354,19 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     # BPE: 8 merges over the word-frequency state (argmax + Arrow rewrite
     # per merge — the per-merge fixed cost IS the measurement)
     timed("bpe_train_8", lambda: bpe_train(docs, num_merges=8).count())
+    # weighted SSSP: Bellman-Ford fused superstep, ~1k sources at once —
+    # frontier-only relaxation keeps per-superstep work on the improved set
+    from avgdist_rs_spark.operators.sssp import hash_weights, sssp
+
+    sssp_seeds = g.edges.select(F.col("src").alias("v")).distinct().where(
+        F.col("v") % 97 == 0
+    )
+    timed(
+        "sssp_multisource",
+        lambda: sssp(hash_weights(g.edges), sssp_seeds)
+        .agg(F.sum("dist"), F.count("*"))
+        .collect(),
+    )
     # Borůvka MSF over the session graph: O(log n) contraction rounds
     timed(
         "msf",
