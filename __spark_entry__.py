@@ -897,6 +897,33 @@ def _q_docs_stream_dedup(spark, sf):
     )
 
 
+def _q_stream_windowed(spark, sf):
+    """Structured Streaming watermarked tumbling-window rollup drained via
+    availableNow — full drain ≡ the batch window aggregate, which the oracle
+    reproduces with epoch-aligned hour buckets."""
+    import os
+    import tempfile
+    import uuid
+
+    from avgdist_rs_spark.streaming.events_stream import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    name = f"stream_windowed_{uuid.uuid4().hex[:8]}"
+    d = tempfile.mkdtemp(prefix="eg_streamw_")
+    os.symlink(f"{sf}/events.parquet", os.path.join(d, "events.parquet"))
+    s = stream_events(spark, d)
+    run_available_now(windowed_event_counts(s), name, "complete")
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("win_start_s"),
+        "event_type",
+        F.col("n").cast("long"),
+        "total_value",
+    )
+
+
 def _q_session_stats(spark, sf):
     from avgdist_rs_spark.operators.sessions import session_stats
 
@@ -1274,6 +1301,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       ``eg_skipgram_pairs`` (which generates the walks it windows, so a walk
       defect flips it), and the step-by-step SQL replay stays oracled here;
       displaced by the new ``doc_bpe_merges``.
+    - ``events_stream_windowed`` — NEW, pytest tier by construction (the
+      window is full): the watermarked tumbling-window streaming rollup,
+      availableNow-drained and value-compared to the batch hour-bucket SQL;
+      the drain machinery is driver-covered by ``events_stream_sessions``
+      and the watermark/late-drop semantics are pytest-asserted in
+      ``tests/test_streaming.py``.
     - ``doc_token_count`` — whitespace token counting is driver-covered by
       ``doc_quality`` (same split kernel feeds its n_tokens/gates) and
       ``doc_corpus_stats`` (total_tokens); the distinct-ratio kernel by
@@ -1303,6 +1336,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_ann": _q_lsh_ann,
         "eg_random_walks": _q_random_walks,
         "doc_token_count": _q_token_count,
+        "events_stream_windowed": _q_stream_windowed,
     }
 
 
@@ -2741,6 +2775,11 @@ def _all_oracle_sql() -> dict[str, str]:
         "eg_khop_sample": _khop_sql(),
         "events_asof": _events_asof_sql(),
         "eg_sssp": _sssp_sql(),
+        "events_stream_windowed": (
+            "SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600) "
+            "AS win_start_s, event_type, count(*)::BIGINT AS n, "
+            "round(sum(value), 6) AS total_value FROM events GROUP BY 1, 2"
+        ),
         "doc_simhash": _simhash_sql() + "SELECT id::BIGINT AS id, simhash FROM fp",
         "doc_simhash_pairs": (
             _simhash_sql()
