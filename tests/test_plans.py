@@ -142,3 +142,53 @@ def test_lloyd_assignment_zero_shuffle(emb):
         v = np.array(r["nv"])
         d2 = ((c - v) ** 2).sum(axis=1)
         assert int(r["cluster"]) == int(np.argmin(d2))
+
+
+def test_asof_join_single_key_exchange(spark):
+    """The as-of join's whole point is ONE shuffle on the key: the plan must
+    contain exactly one Exchange hashpartitioning on user_id (the window),
+    fed by the union — no range-join, no cartesian, no second key shuffle."""
+    from avgdist_rs_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = asof_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        on="user_id",
+    )
+    p = plan_of(q, "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+
+
+def test_khop_fixed_depth_is_one_plan_no_python(spark):
+    """khop composes all hops lazily: no Python eval nodes, no cartesian,
+    and the per-hop windows partition by (seed, parent) — never a global
+    (empty-spec) window."""
+    from avgdist_rs_spark.operators.neighbors import khop_sample
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    p = plan_of(khop_sample(e, seeds, fanouts=(2, 2)), "simple")
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+    assert "windowspecdefinition()" not in p  # no global window anywhere
+
+
+def test_pack_sequences_no_global_data_window(docs):
+    """The corpus-sized table must only see the bucket-partitioned window;
+    the single-partition (empty-spec) window may touch ONLY the per-bucket
+    totals (corpus/bucket_width rows). With bucket_width forcing multiple
+    buckets, the analyzed plan's global window operates on the _bt rollup."""
+    from avgdist_rs_spark.operators.pipeline import pack_sequences
+
+    q = pack_sequences(docs, seq_len=256, bucket_width=64)
+    analyzed = q._jdf.queryExecution().analyzed().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((.*?)\)", analyzed)
+    assert specs, "expected window operators in the plan"
+    for spec in specs:
+        # every window leads with the bucket column — either partitioned by
+        # it (the in-bucket cumsum) or ordered by it (the tiny totals
+        # rollup); a doc_id-led spec would be the global scan we designed out
+        assert spec.strip().startswith("_b"), spec
