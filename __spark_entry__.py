@@ -18,6 +18,7 @@ strings so dense-id assignment never has to match across engines.
 from __future__ import annotations
 
 import math
+import shutil
 from collections.abc import Callable
 
 import numpy as np
@@ -855,11 +856,18 @@ def _q_stream_sessions(spark, sf):
 
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     # the file stream source requires a DIRECTORY; stage the (read-only)
-    # events table into one via symlink — zero copy
+    # events table into one via symlink — zero copy. abspath: a RELATIVE
+    # sf_dir would otherwise resolve against the tmp dir and dangle
+    # (round-5 advice); the staging dir is removed once the drain is done
+    # (the memory sink holds the rows).
     d = tempfile.mkdtemp(prefix="eg_stream_")
-    os.symlink(f"{sf}/events.parquet", os.path.join(d, "events.parquet"))
+    os.symlink(
+        os.path.join(os.path.abspath(sf), "events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
     s = stream_events(spark, d)
     run_available_now(sessionize_stream(s), name, "append")
+    shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         F.col("event_id").cast("long"),
         F.col("user_id").cast("long"),
@@ -881,7 +889,11 @@ def _q_docs_stream_dedup(spark, sf):
 
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     d = tempfile.mkdtemp(prefix="doc_stream_")
-    os.symlink(f"{sf}/documents.parquet", os.path.join(d, "documents.parquet"))
+    # abspath + post-drain cleanup: see _q_stream_sessions (round-5 advice)
+    os.symlink(
+        os.path.join(os.path.abspath(sf), "documents.parquet"),
+        os.path.join(d, "documents.parquet"),
+    )
     s = stream_docs(spark, d)
     q = (
         dedup_stream(s)
@@ -892,6 +904,7 @@ def _q_docs_stream_dedup(spark, sf):
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         F.col("keep_id").cast("long"), F.col("dup_count").cast("long")
     )
@@ -913,9 +926,14 @@ def _q_stream_windowed(spark, sf):
 
     name = f"stream_windowed_{uuid.uuid4().hex[:8]}"
     d = tempfile.mkdtemp(prefix="eg_streamw_")
-    os.symlink(f"{sf}/events.parquet", os.path.join(d, "events.parquet"))
+    # abspath + post-drain cleanup: see _q_stream_sessions (round-5 advice)
+    os.symlink(
+        os.path.join(os.path.abspath(sf), "events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
     s = stream_events(spark, d)
     run_available_now(windowed_event_counts(s), name, "complete")
+    shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         F.unix_timestamp("window_start").alias("win_start_s"),
         "event_type",

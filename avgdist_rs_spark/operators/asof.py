@@ -52,6 +52,23 @@ def asof_join(
     seconds between the two rows; all NULL when no right row qualifies).
     """
     lcols = left.columns
+    # internal working columns are reserved: a silent collision would corrupt
+    # the unionByName/window (round-5 advice — fail loudly instead)
+    reserved = {"_tag", "_rts", "_rid", "_ats", "_aid"}
+    reserved |= {f"_rp_{c}" for c in payload} | {f"_ap_{c}" for c in payload}
+    clash = reserved.intersection(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with reserved "
+            "internal names — rename them before joining"
+        )
+    out_names = {f"asof_{id_col}", *[f"asof_{c}" for c in payload], "lag_s"}
+    out_clash = out_names.intersection(lcols)
+    if out_clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(out_clash)} collide with output "
+            "column names — rename them before joining"
+        )
     r = right.select(
         F.col(on),
         F.col(ts).alias("_rts"),

@@ -192,7 +192,9 @@ def _betweenness_shards(
                     "sigma",
                     F.lit(depth + 1).cast("int").alias("dist"),
                 )
-                .localCheckpoint(eager=True)
+                # non-eager: the count() is the materializing action — one
+                # Spark job per forward superstep instead of two
+                .localCheckpoint(eager=False)
             )
             n_new = newf.count()
             met.record(depth + 1, n_new, time.monotonic() - t0, phase="fwd")
@@ -240,7 +242,8 @@ def _betweenness_shards(
                     ).alias("delta")
                 )
                 .select("seed", F.col("u").alias("v"), "delta")
-                .localCheckpoint(eager=True)
+                # non-eager: the count() below materializes — one job/superstep
+                .localCheckpoint(eager=False)
             )
             met.record(2 * depth - lvl, dcur.count(), time.monotonic() - t0,
                        phase="rev")

@@ -582,10 +582,12 @@ def bfs_frontier(
                 expanded = frontier.join(edges, F.col("v") == F.col("_esrc")).select(
                     F.col("seed"), F.col("_edst").alias("v")
                 )
+            # non-eager checkpoint: the count() below is the materializing
+            # action — one Spark job per superstep instead of two
             nxt = (
                 expanded.dropDuplicates(["seed", "v"])
                 .join(visited.select("seed", "v"), ["seed", "v"], "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             cnt = nxt.count()
             wall = time.monotonic() - t0

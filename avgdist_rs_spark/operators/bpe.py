@@ -116,6 +116,10 @@ def bpe_train(
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((rank, a, b, n))
+        if rank == num_merges:
+            # the rewritten state would only feed merge rank+1's pair counts —
+            # there is none, so the final Arrow rewrite is pure waste
+            break
 
         def rewrite(batches: Iterator[pd.DataFrame], a=a, b=b) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -132,7 +136,10 @@ def bpe_train(
         touched = state.where(hit)
         untouched = state.where(~hit)
         rewritten = touched.mapInPandas(rewrite, schema=state.schema)
-        state = ckpt.step(rewritten.unionByName(untouched), rank)
+        # lazy: the NEXT merge's pair-count collect (which scans every
+        # partition) materializes the checkpoint — one Spark job per merge
+        # instead of two (hard cuts every 4th stay eager Parquet resets)
+        state = ckpt.step(rewritten.unionByName(untouched), rank, lazy=True)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )

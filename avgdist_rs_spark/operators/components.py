@@ -29,6 +29,7 @@ from ..streaming.superstep import (
     Checkpointer,
     SuperstepMetrics,
     aqe_disabled,
+    broadcast_joins_disabled,
     fixpoint_shuffle_partitions,
 )
 
@@ -72,17 +73,6 @@ def connected_components(
     met = metrics if metrics is not None else SuperstepMetrics(name="cc")
     ckpt = checkpointer or Checkpointer(spark, name="cc", every=4)
 
-    sym = (
-        graph.symmetric_edges()
-        .select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sym.count()
-
-    labels = graph.vertices().select("v", F.col("v").alias("component")).localCheckpoint(
-        eager=True
-    )
-
     # NOTE: at session shuffle width this loop KEEPS AQE enabled — the
     # pointer-jump self-join (labels ⋈ labels on the label key) measurably
     # benefits from adaptive broadcast/coalesce decisions (10k-chain at
@@ -102,9 +92,28 @@ def connected_components(
     with fixpoint_shuffle_partitions(
         spark, max(graph.num_nodes, graph.num_edges), per_partition=250_000
     ):
+        # the symmetric edge table is built INSIDE the width scope so its
+        # repartition lands hash(src) at the LOOP width: the per-superstep
+        # labels ⋈ sym join then matches partitioning on both sides and the
+        # edge table never re-exchanges inside the loop (guide §2.4)
+        sym = (
+            graph.symmetric_edges()
+            .select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sym.count()
+
+        labels = graph.vertices().select(
+            "v", F.col("v").alias("component")
+        ).localCheckpoint(eager=True)
+
         narrow = int(spark.conf.get("spark.sql.shuffle.partitions")) <= 8
         aqe_ctx = aqe_disabled(spark) if narrow else nullcontext()
-        with aqe_ctx:
+        # narrow loops also run without auto-broadcast: the state tables are
+        # co-partitioned, so SMJ is exchange-free and the per-superstep
+        # broadcast job disappears (see broadcast_joins_disabled)
+        bj_ctx = broadcast_joins_disabled(spark) if narrow else nullcontext()
+        with aqe_ctx, bj_ctx:
             for it in range(1, max_supersteps + 1):
                 t0 = time.monotonic()
                 # one fused exchange per superstep: the state row (carrying the old
@@ -129,16 +138,15 @@ def connected_components(
                 )
                 jump = shortcut is True or (shortcut == "auto" and it > AUTO_SHORTCUT_AFTER)
                 if jump:
-                    # pointer jump: component ← label(component), applied TWICE
-                    # per superstep — two chained dereferences of the same
-                    # (pre-step) label map triple pointer depth per superstep
-                    # (d → 3d) instead of doubling it, cutting a 10^4-chain
-                    # from ~16 supersteps to ~12 for one extra cheap self-join
-                    # (the per-superstep fixed cost dominates the extra join
-                    # at narrow shuffle width). The label table is the (small)
-                    # per-vertex state, self-joined on the label key.
+                    # pointer jump by SQUARING: the first dereference builds
+                    # once = M∘M (labels through the post-hop map M), the
+                    # second dereferences once through ITSELF — M⁴ per
+                    # superstep for the same two self-joins (the former
+                    # second-deref through M only reached M³). A 10^4-chain
+                    # drops another superstep or two at zero extra stage cost;
+                    # per-superstep fixed cost dominates at narrow width.
                     # INNER joins: every component value is the min of some
-                    # vertex-id set, hence itself a key in `stepped`.
+                    # vertex-id set, hence itself a key in `stepped`/`once`.
                     parent = stepped.select(
                         F.col("v").alias("_pv"), F.col("component").alias("_pc")
                     )
@@ -152,7 +160,7 @@ def connected_components(
                             ).alias("component"),
                         )
                     )
-                    parent2 = stepped.select(
+                    parent2 = once.select(
                         F.col("v").alias("_qv"), F.col("component").alias("_qc")
                     )
                     stepped = (

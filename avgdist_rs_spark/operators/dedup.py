@@ -153,6 +153,11 @@ def jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle")
+    # the distinct (id, shingle) set feeds 3 (all) to 6 (prefix) subplans —
+    # a non-eager checkpoint materializes the scan+explode+dedup once and
+    # every consumer reads the cached rows (guide §2.4: shared subplans
+    # should share one computation, not re-run the exchange per consumer)
+    sh = sh.localCheckpoint(eager=False)
     if strategy == "all":
         return _jaccard_scores(sh).where(F.col("jaccard") >= threshold)
     if strategy != "prefix":
@@ -402,9 +407,12 @@ def dedup_groups(
     handful of supersteps; a convergence guard raises rather than returning
     a half-collapsed labeling.
     """
+    from ..streaming.superstep import aqe_disabled, fixpoint_shuffle_partitions
+
     pairs = minhash_lsh_pairs(
         docs, num_hashes, bands, k, threshold, id_col, text_col
     ).persist()
+    n_pairs = pairs.count()
     sym = (
         pairs.select(F.col("a").alias("_s"), F.col("b").alias("_d"))
         .unionAll(pairs.select(F.col("b").alias("_s"), F.col("a").alias("_d")))
@@ -416,30 +424,38 @@ def dedup_groups(
         .select("v", F.col("v").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(64):
-        contrib = lab.join(sym, lab.v == F.col("_s")).select(
-            F.col("_d").alias("v"),
-            F.col("comp").alias("cand"),
-            F.lit(None).cast("long").alias("_prev"),
-        )
-        state = lab.select("v", F.col("comp").alias("cand"), F.col("comp").alias("_prev"))
-        stepped = (
-            contrib.unionAll(state)
-            .groupBy("v")
-            .agg(F.min("cand").alias("comp"), F.max("_prev").alias("_old"))
-            .localCheckpoint(eager=True)
-        )
-        changed = int(
-            stepped.agg(F.sum((F.col("comp") != F.col("_old")).cast("long"))).collect()[
-                0
-            ][0]
-            or 0
-        )
-        lab = stepped.drop("_old")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("dedup_groups: pair-graph min-label fixpoint not converged")
+    # the pair graph is tiny relative to the corpus (only verified collisions
+    # appear), so the fixpoint exchanges a handful of rows — scope the shuffle
+    # width to that volume instead of paying session-width task scheduling per
+    # superstep, and let the convergence aggregate materialize the (lazy)
+    # checkpoint: one Spark job per superstep (the fixpoint-fusion discipline
+    # of components/scc)
+    with fixpoint_shuffle_partitions(spark := docs.sparkSession, max(2 * n_pairs, 1)), \
+            aqe_disabled(spark):
+        for _ in range(64):
+            contrib = lab.join(sym, lab.v == F.col("_s")).select(
+                F.col("_d").alias("v"),
+                F.col("comp").alias("cand"),
+                F.lit(None).cast("long").alias("_prev"),
+            )
+            state = lab.select("v", F.col("comp").alias("cand"), F.col("comp").alias("_prev"))
+            stepped = (
+                contrib.unionAll(state)
+                .groupBy("v")
+                .agg(F.min("cand").alias("comp"), F.max("_prev").alias("_old"))
+                .localCheckpoint(eager=False)
+            )
+            changed = int(
+                stepped.agg(F.sum((F.col("comp") != F.col("_old")).cast("long"))).collect()[
+                    0
+                ][0]
+                or 0
+            )
+            lab = stepped.drop("_old")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("dedup_groups: pair-graph min-label fixpoint not converged")
     sym.unpersist()
     pairs.unpersist()
     return (

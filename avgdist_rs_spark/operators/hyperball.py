@@ -378,7 +378,10 @@ def hyperball(
                 schema=state_schema + ", changed long",
             )
         )
-        new_state = ckpt.step(new_state, t, wall_s=time.monotonic() - t0)
+        # lazy: the convergence aggregate below is the materializing action —
+        # one Spark job per superstep instead of two (durable cuts on the
+        # every=4 cadence stay eager Parquet writes)
+        new_state = ckpt.step(new_state, t, wall_s=time.monotonic() - t0, lazy=True)
         n_changed = int(
             new_state.agg(F.sum("changed").alias("c")).collect()[0]["c"] or 0
         )

@@ -57,28 +57,30 @@ def k_core(
     met = metrics if metrics is not None else SuperstepMetrics(name="kcore")
     ckpt = checkpointer or Checkpointer(spark, name="kcore", every=4)
 
-    sym = (
-        graph.symmetric_edges()
-        .select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sym.count()
-
-    # degrees over the full graph seed the first peel
-    alive = (
-        sym.groupBy(F.col("_esrc").alias("v"))
-        .agg(F.count("*").alias("deg"))
-        .where(F.col("deg") >= k)
-        .localCheckpoint(eager=True)
-    )
-    n_alive = alive.count()
-
     # shuffle width scoped to the peel's exchange volume: each superstep
     # aggregates the alive-filtered symmetric edge stream (≤ 2m rows) into
-    # an ≤ n-row degree table (see fixpoint_shuffle_partitions)
+    # an ≤ n-row degree table (see fixpoint_shuffle_partitions). sym is built
+    # inside the scope so the per-superstep semi-joins match its partitioning
+    # (guide §2.4 — no edge re-exchange per superstep).
     with fixpoint_shuffle_partitions(
         spark, max(graph.num_nodes, 2 * graph.num_edges)
     ), aqe_disabled(spark):
+        sym = (
+            graph.symmetric_edges()
+            .select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sym.count()
+
+        # degrees over the full graph seed the first peel
+        alive = (
+            sym.groupBy(F.col("_esrc").alias("v"))
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .localCheckpoint(eager=True)
+        )
+        n_alive = alive.count()
+
         converged = n_alive == 0
         for it in range(1, max_supersteps + 1):
             if converged:
@@ -92,7 +94,8 @@ def k_core(
                 .agg(F.count("*").alias("deg"))
                 .where(F.col("deg") >= k)
             )
-            nxt = ckpt.step(nxt, it, wall_s=time.monotonic() - t0)
+            # non-eager: the count() below materializes — one job/superstep
+            nxt = ckpt.step(nxt, it, wall_s=time.monotonic() - t0, lazy=True)
             n_next = nxt.count()
             met.record(it, n_next, time.monotonic() - t0)
             converged = n_next == n_alive or n_next == 0

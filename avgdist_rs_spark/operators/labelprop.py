@@ -26,7 +26,9 @@ from ..streaming.superstep import (
     Checkpointer,
     SuperstepMetrics,
     aqe_disabled,
+    broadcast_joins_disabled,
     fixpoint_shuffle_partitions,
+    fixpoint_width,
 )
 
 
@@ -41,23 +43,30 @@ def label_propagation(
     met = metrics if metrics is not None else SuperstepMetrics(name="lpa")
     ckpt = checkpointer or Checkpointer(spark, name="lpa", every=4)
 
-    sym = (
-        graph.symmetric_edges()
-        .select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sym.count()
-
-    labels = graph.vertices().select("v", F.col("v").alias("label")).localCheckpoint(
-        eager=True
-    )
-
     # shuffle width scoped to the vote stream (2m rows of (v, label) votes +
     # n state rows per superstep) — measured 4.6 s → 1.8–2.4 s for 4
-    # supersteps at sf0.1 (see fixpoint_shuffle_partitions)
+    # supersteps at sf0.1 (see fixpoint_shuffle_partitions). The symmetric
+    # edge table is built inside the scope so the per-superstep labels ⋈ sym
+    # join matches partitioning on the edge side (guide §2.4 — no edge
+    # re-exchange per superstep).
+    from contextlib import nullcontext
+
+    loop_w = fixpoint_width(spark, max(graph.num_nodes, 2 * graph.num_edges))
+    bj_ctx = broadcast_joins_disabled(spark) if loop_w <= 8 else nullcontext()
     with fixpoint_shuffle_partitions(
         spark, max(graph.num_nodes, 2 * graph.num_edges)
-    ), aqe_disabled(spark):
+    ), aqe_disabled(spark), bj_ctx:
+        sym = (
+            graph.symmetric_edges()
+            .select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sym.count()
+
+        labels = graph.vertices().select(
+            "v", F.col("v").alias("label")
+        ).localCheckpoint(eager=True)
+
         for it in range(1, iterations + 1):
             t0 = time.monotonic()
             votes = (

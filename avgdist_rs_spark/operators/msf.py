@@ -93,11 +93,17 @@ def minimum_spanning_forest(
     ckpt = checkpointer or Checkpointer(spark, name="msf", every=1, hard_every=6)
     _step = [0]
 
-    def cut(df: DataFrame) -> DataFrame:
+    # lazy cuts by default: the loop's own next action (a count / convergence
+    # aggregate that touches every partition) materializes the checkpoint, so
+    # each round runs ~3 Spark jobs instead of ~8 — the superstep-fusion
+    # discipline every other fixpoint here already uses (guide §1.2: fewer
+    # driver round-trips per iteration)
+    def cut(df: DataFrame, lazy: bool = True) -> DataFrame:
         _step[0] += 1
-        return ckpt.step(df, _step[0])
+        return ckpt.step(df, _step[0], lazy=lazy)
 
     ew = cut(_canonical_weighted(edges, weight_col))
+    n_edges = ew.count()
 
     verts = (
         ew.select(F.col("u").alias("x"))
@@ -106,8 +112,8 @@ def minimum_spanning_forest(
     )
     labels = cut(verts.select(F.col("x"), F.col("x").alias("lbl")))
     forest: DataFrame | None = None
+    n_forest_unions = 0
     step = 0
-    n_edges = ew.count()
 
     with fixpoint_shuffle_partitions(spark, max(n_edges, 1), per_partition=250_000):
         with aqe_disabled(spark):
@@ -127,7 +133,10 @@ def minimum_spanning_forest(
                 n_cross = ew.count()
                 if n_cross == 0:
                     break
-                # 2. per-component minimum crossing edge (total order w,u,v)
+                # 2. per-component minimum crossing edge (total order w,u,v).
+                # pick is consumed twice (forest edges + parent pointers), so
+                # it is the round's ONE eager cut — sel/par derive from the
+                # cached rows instead of re-running the groupBy
                 cand = ew.select(
                     F.col("_lu").alias("c"),
                     F.struct("w", "u", "v", F.col("_lv").alias("o")).alias("m"),
@@ -137,40 +146,56 @@ def minimum_spanning_forest(
                         F.struct("w", "u", "v", F.col("_lu").alias("o")).alias("m"),
                     )
                 )
-                pick = cand.groupBy("c").agg(F.min("m").alias("m"))
-                sel = cut(
-                    pick.select(
-                        F.col("m.u").alias("u"), F.col("m.v").alias("v"), F.col("m.w").alias("w")
-                    ).distinct()
-                )
-                forest = sel if forest is None else cut(forest.unionAll(sel))
+                pick = cut(cand.groupBy("c").agg(F.min("m").alias("m")), lazy=False)
+                sel = pick.select(
+                    F.col("m.u").alias("u"), F.col("m.v").alias("v"), F.col("m.w").alias("w")
+                ).distinct()
+                # forest accumulates lazily; fold every 4 rounds bounds the
+                # Union depth without rewriting the whole forest each round
+                forest = sel if forest is None else forest.unionAll(sel)
+                n_forest_unions += 1
+                if n_forest_unions % 4 == 0:
+                    forest = cut(forest, lazy=False)
                 # 3. contraction: parent pointers, 2-cycle break toward the
                 # smaller id, pointer-jump to the root
-                par = cut(pick.select("c", F.col("m.o").alias("p")))
+                par = pick.select("c", F.col("m.o").alias("p"))
                 g = par.select(F.col("c").alias("_pc"), F.col("p").alias("_pp"))
-                par = cut(
-                    par.join(g, par.p == F.col("_pc"), "left").select(
-                        "c",
-                        F.when(
-                            (F.col("_pp") == F.col("c")) & (F.col("c") < F.col("p")),
-                            F.col("c"),
-                        )
-                        .otherwise(F.col("p"))
-                        .alias("p"),
+                par = par.join(g, par.p == F.col("_pc"), "left").select(
+                    "c",
+                    F.when(
+                        (F.col("_pp") == F.col("c")) & (F.col("c") < F.col("p")),
+                        F.col("c"),
                     )
+                    .otherwise(F.col("p"))
+                    .alias("p"),
                 )
                 while True:
                     step += 1
+                    # two chained dereferences per action, the second through
+                    # the ALREADY-JUMPED map — depth ~4x per jump job (the
+                    # components.py squaring trick, VERDICT r5 next-#7) and the
+                    # moved-count rides the SAME job as the jump materialization
                     g = par.select(F.col("c").alias("_pc"), F.col("p").alias("_pp"))
-                    jumped = par.join(g, par.p == F.col("_pc"), "left").select(
+                    once = par.join(g, par.p == F.col("_pc"), "left").select(
                         "c", F.coalesce("_pp", "p").alias("p"), par.p.alias("_old")
                     )
+                    g2 = once.select(F.col("c").alias("_qc"), F.col("p").alias("_qp"))
+                    jumped = once.join(g2, once.p == F.col("_qc"), "left").select(
+                        "c", F.coalesce("_qp", "p").alias("p"), "_old"
+                    )
                     jumped = cut(jumped)
-                    moved = jumped.where(F.col("p") != F.col("_old")).count()
+                    moved = int(
+                        jumped.agg(
+                            F.sum((F.col("p") != F.col("_old")).cast("long"))
+                        ).collect()[0][0]
+                        or 0
+                    )
                     par = jumped.drop("_old")
                     if moved == 0:
                         break
-                # 4. fold the round's root map into the vertex labels
+                # 4. fold the round's root map into the vertex labels — lazy:
+                # the next round's n_cross count (or nothing, on the final
+                # round) materializes it
                 labels = cut(
                     labels.join(
                         par.select(F.col("c").alias("lbl"), F.col("p").alias("_r")),

@@ -60,60 +60,66 @@ def pagerank(
     met = metrics if metrics is not None else SuperstepMetrics(name="pagerank")
     ckpt = checkpointer or Checkpointer(spark, name="pagerank", every=1)
 
-    # out-degree-normalized edge weights, computed once and persisted alongside
-    # the stable edge partitioning
-    deg = graph.edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    norm_edges = (
-        graph.edges.join(deg, "src")
-        .select(
-            F.col("src").alias("_esrc"),
-            F.col("dst").alias("_edst"),
-            (F.lit(1.0) / F.col("outdeg")).alias("_w"),
-        )
-        .persist()
-    )
-    norm_edges.count()
-    # one upfront sink probe: a sink-free graph has zero dangling mass every
-    # superstep, so the per-superstep scalar collect can be skipped entirely
-    has_dangling = (
-        graph.edges.select(F.countDistinct("src").alias("d")).collect()[0]["d"] < n
-    )
-
-    start_iter = 0
-    ranks: DataFrame | None = None
-    if resume:
-        latest = ckpt.latest()
-        if latest is not None:
-            ranks, start_iter = latest
-    if seeds is None:
-        tele = F.lit(1.0) / F.lit(float(n))
-    else:
-        sset = sorted({int(s) for s in seeds})
-        if not sset:
-            raise ValueError("personalized pagerank needs a non-empty seed set")
-        tele = F.when(
-            F.col("v").isin(sset), F.lit(1.0) / F.lit(float(len(sset)))
-        ).otherwise(F.lit(0.0))
-    if ranks is None:
-        ranks = (
-            graph.vertices()
-            .select("v", tele.alias("rank"))
-            .localCheckpoint(eager=True)
-        )
-
-    base_rows = (
-        graph.vertices()
-        .select("v", F.lit(0.0).alias("c"), tele.alias("_tele"))
-        .persist()
-    )
     # fixed-shape fixpoint: run without AQE (see aqe_disabled), shuffle width
     # scoped to the per-superstep exchange volume — the rank vector (n rows)
     # and the contribution stream (m rows) are all that moves each iteration
     # (measured on this loop: 14–15.4 s → 6.2–7.7 s for 10 iterations at
-    # sf0.1, see fixpoint_shuffle_partitions)
+    # sf0.1, see fixpoint_shuffle_partitions). The scope opens BEFORE the
+    # normalized edge table is built so the deg join lands it hash-partitioned
+    # on src AT THE LOOP WIDTH: the per-iteration ranks ⋈ edges join then
+    # matches on both sides and the edge table is never re-exchanged inside
+    # the loop (guide §2.4 — two operations keyed the same way share one
+    # exchange; previously each superstep re-hashed the persisted 32-wide
+    # edge cache down to the loop width)
     with fixpoint_shuffle_partitions(
         spark, max(n, graph.num_edges)
     ), aqe_disabled(spark):
+        # out-degree-normalized edge weights, computed once and persisted at
+        # the loop's exchange width
+        deg = graph.edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+        norm_edges = (
+            graph.edges.join(deg, "src")
+            .select(
+                F.col("src").alias("_esrc"),
+                F.col("dst").alias("_edst"),
+                (F.lit(1.0) / F.col("outdeg")).alias("_w"),
+            )
+            .persist()
+        )
+        norm_edges.count()
+        # one upfront sink probe: a sink-free graph has zero dangling mass
+        # every superstep, so the per-superstep scalar collect can be skipped
+        has_dangling = (
+            graph.edges.select(F.countDistinct("src").alias("d")).collect()[0]["d"] < n
+        )
+
+        start_iter = 0
+        ranks: DataFrame | None = None
+        if resume:
+            latest = ckpt.latest()
+            if latest is not None:
+                ranks, start_iter = latest
+        if seeds is None:
+            tele = F.lit(1.0) / F.lit(float(n))
+        else:
+            sset = sorted({int(s) for s in seeds})
+            if not sset:
+                raise ValueError("personalized pagerank needs a non-empty seed set")
+            tele = F.when(
+                F.col("v").isin(sset), F.lit(1.0) / F.lit(float(len(sset)))
+            ).otherwise(F.lit(0.0))
+        if ranks is None:
+            ranks = (
+                graph.vertices()
+                .select("v", tele.alias("rank"))
+                .localCheckpoint(eager=True)
+            )
+
+        base_rows = (
+            graph.vertices()
+            .select("v", F.lit(0.0).alias("c"), tele.alias("_tele"))
+            .persist()
+        )
         for it in range(start_iter + 1, iterations + 1):
             t0 = time.monotonic()
             # every-vertex presence WITHOUT a second join: zero-contribution base
@@ -121,7 +127,7 @@ def pagerank(
             # superstep is exactly one shuffle of the n-row rank vector (by src)
             # plus one aggregation shuffle (by dst) — no vertices ⋈ contrib stage
             contrib = (
-                ranks.join(norm_edges, ranks.v == F.col("_esrc"))
+                ranks.join(norm_edges.hint("merge"), ranks.v == F.col("_esrc"))
                 .select(
                     F.col("_edst").alias("v"),
                     (F.col("rank") * F.col("_w")).alias("c"),
@@ -136,25 +142,30 @@ def pagerank(
             # its rank fully (Σ_v contrib(v) = Σ_{u: outdeg>0} rank(u)) and Σ rank
             # is 1 by construction (the base rows add exactly 0) — saves the
             # anti-join + extra ranks scan per superstep; the SQL oracle mirrors
-            # this expression exactly. The mass stays IN the plan as a broadcast
-            # 1-row aggregate — no driver collect per superstep: the checkpoint
-            # materialization is the only job each iteration (the persisted
-            # contrib feeds both branches)
+            # this expression exactly. The scalar is COLLECTED (one job over the
+            # persisted contrib, which the checkpoint job then reads from cache)
+            # and injected as a LITERAL: the former broadcast-subquery device
+            # (crossJoin(broadcast(agg))) cost two extra Spark jobs per
+            # iteration for the nested broadcast exchanges — measured 4 jobs/
+            # iteration → 2 (same aggregate, same IEEE value, bit-identical
+            # ranks; driver-sim re-verified)
             if has_dangling:
-                dmass = contrib.agg(
-                    (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("_dm")
+                dm = float(
+                    contrib.agg(
+                        (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("_dm")
+                    ).collect()[0]["_dm"]
                 )
                 if seeds is None:
                     base = (
                         F.lit((1.0 - damping) / n)
-                        + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+                        + F.lit(damping) * F.lit(dm) / F.lit(float(n))
                     )
                 else:
                     base = (
                         F.lit(1.0 - damping) * F.col("_t")
-                        + F.lit(damping) * F.col("_dm") * F.col("_t")
+                        + F.lit(damping) * F.lit(dm) * F.col("_t")
                     )
-                new_ranks = contrib.crossJoin(F.broadcast(dmass)).select(
+                new_ranks = contrib.select(
                     "v", (base + F.lit(damping) * F.col("c")).alias("rank")
                 )
             else:

@@ -112,7 +112,10 @@ def training_set_select(
     keys = docs.groupBy(F.md5(F.col(text_col)).alias("_ck")).agg(
         F.min(F.col(id_col)).alias(id_col)
     )
-    survivors = docs.join(keys.select(id_col), id_col)
+    # the survivor table feeds every later stage (LSH shingles + signatures,
+    # the canonical join, both gates) — a non-eager checkpoint computes the
+    # scan + content-key groupBy + join once instead of once per consumer
+    survivors = docs.join(keys.select(id_col), id_col).localCheckpoint(eager=False)
 
     # 2. near-dup collapse among survivors: canonical = its group's min id.
     # The pair graph only ever links survivor ids, so a survivor's component
@@ -122,7 +125,7 @@ def training_set_select(
     )
     canonical = survivors.join(
         groups.where(F.col(id_col) == F.col("keep_id")).select(id_col), id_col
-    )
+    ).localCheckpoint(eager=False)  # consumed by both gates below
 
     # 3. language + quality gates on the canonical set
     li = lang_id(canonical, id_col, text_col).select(

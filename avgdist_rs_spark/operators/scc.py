@@ -69,7 +69,9 @@ from ..streaming.superstep import (
     SuperstepMetrics,
     aqe_disabled,
     aqe_enabled,
+    broadcast_joins_disabled,
     fixpoint_shuffle_partitions,
+    fixpoint_width,
 )
 
 #: color supersteps per round before "auto" enables pointer jumping (mirrors
@@ -80,6 +82,16 @@ AUTO_SHORTCUT_AFTER = 4
 #: fold the assigned-vertices accumulator through localCheckpoint every this
 #: many unionAll's — bounds final-plan Union depth on deep-trim DAGs
 ASSIGNED_FOLD_EVERY = 8
+
+#: self-joins per jump superstep. On a PURE pointer map, iterated squaring
+#: grows depth 2^k per superstep (measured: a 4096-chain resolves in 12/6/4/3
+#: supersteps at k=1/2/3/4), but the color fixpoint's chains are built by
+#: priority-max over 1-hop-per-superstep reachability — the max vertex of a
+#: ball sits at a random depth inside it, so the second and later
+#: dereferences extend coverage sub-multiplicatively. Measured on the 10k
+#: directed cycle: k=2 and k=4 BOTH converge in 41 supersteps, with k=4
+#: doubling per-superstep wall — 2 is the knee.
+JUMP_SQUARINGS = 2
 
 
 
@@ -102,6 +114,11 @@ def strongly_connected_components(
     n_acc = 0
     step = 0
 
+    # the width scope opens before the alive-edge table is seeded so ea can be
+    # hash-partitioned on _s AT THE LOOP WIDTH once: the color-pass join
+    # (state.v == _s) then matches partitioning on the edge side every
+    # superstep instead of re-exchanging the table per superstep (guide §2.4);
+    # the broadcast anti-join shrinks and localCheckpoints preserve it.
     # loop-carried alive-edge table: seeded with the full edge set, SHRUNK by
     # anti-joining out vertices as they leave `alive` (dead singletons each
     # trim superstep, found SCCs each round) — every superstep scans the
@@ -112,9 +129,14 @@ def strongly_connected_components(
     # cadence-8 cost ~0.5 s/superstep in rebuilt broadcasts on a 240-chain),
     # while the materialization is bounded by the m_t scan the superstep does
     # anyway.
-    ea = graph.edges.select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d")
-    ).localCheckpoint(eager=True)
+    loop_w = fixpoint_width(
+        spark, max(graph.num_nodes, graph.num_edges), per_partition=250_000
+    )
+    ea = (
+        graph.edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+        .repartition(loop_w, "_s")
+        .localCheckpoint(eager=True)
+    )
 
     def _shrink_ea(gone: DataFrame, gone_count: int) -> None:
         nonlocal ea
@@ -193,47 +215,34 @@ def strongly_connected_components(
                 )
                 if jump:
                     # monotone shortcut: adopt your label's own label — sound
-                    # because reachability composes; labels now travel 2^k hops
-                    # in k supersteps (same recipe as components.py)
-                    # applied TWICE per superstep: two chained dereferences of
-                    # the same pre-step label map grow pointer depth ~3x per
-                    # superstep instead of 2x — one extra cheap self-join vs
-                    # several whole supersteps of fixed cost (see
-                    # components.py; 10k directed cycle: 50 → ~36 supersteps)
-                    parent = stepped.select(
-                        F.col("v").alias("_pv"), F.col(label).alias("_pc")
-                    )
-                    once = stepped.join(
-                        parent, stepped[label] == F.col("_pv"), "left"
-                    ).select(
-                        "v",
-                        "_old",
-                        # NULL check, not coalesce-of-struct: xxhash64(NULL) is
-                        # the seed, so _pri(NULL) is a NON-null struct
-                        F.when(F.col("_pc").isNull(), F.col(label))
-                        .otherwise(
-                            F.greatest(
-                                _pri(F.col(label)), _pri(F.col("_pc"))
-                            ).getField("w")
+                    # because reachability composes (same recipe as
+                    # components.py), applied by ITERATED SQUARING: each
+                    # dereference goes through the ALREADY-JUMPED map, so k
+                    # self-joins grow pointer depth ~2^k per superstep (the
+                    # former fixed two-deref through the pre-step map only
+                    # reached ~3x). The joins are cheap label-table self-joins
+                    # at the narrow loop width; whole supersteps of fixed cost
+                    # (job scheduling + plan analysis) are what they save —
+                    # 10k directed cycle measured 42 supersteps at depth 3x.
+                    for _sq in range(JUMP_SQUARINGS):
+                        pmap = stepped.select(
+                            F.col("v").alias("_pv"), F.col(label).alias("_pc")
                         )
-                        .alias(label),
-                    )
-                    parent2 = stepped.select(
-                        F.col("v").alias("_qv"), F.col(label).alias("_qc")
-                    )
-                    stepped = once.join(
-                        parent2, once[label] == F.col("_qv"), "left"
-                    ).select(
-                        "v",
-                        "_old",
-                        F.when(F.col("_qc").isNull(), F.col(label))
-                        .otherwise(
-                            F.greatest(
-                                _pri(F.col(label)), _pri(F.col("_qc"))
-                            ).getField("w")
+                        stepped = stepped.join(
+                            pmap, stepped[label] == F.col("_pv"), "left"
+                        ).select(
+                            "v",
+                            "_old",
+                            # NULL check, not coalesce-of-struct: xxhash64(NULL)
+                            # is the seed, so _pri(NULL) is a NON-null struct
+                            F.when(F.col("_pc").isNull(), F.col(label))
+                            .otherwise(
+                                F.greatest(
+                                    _pri(F.col(label)), _pri(F.col("_pc"))
+                                ).getField("w")
+                            )
+                            .alias(label),
                         )
-                        .alias(label),
-                    )
                 # lazy: the convergence aggregate is the materializing action
                 stepped = ckpt.step(stepped, step + 1, lazy=True)
                 changed = int(
@@ -258,9 +267,15 @@ def strongly_connected_components(
     # per_partition 250k as in components.py: the coloring/membership
     # fixpoints pointer-jump through self-joins (multiple stages per
     # superstep), the regime where fewer, larger partitions measured faster
+    # narrow loops also run without auto-broadcast (1 job/superstep instead
+    # of 2 — see broadcast_joins_disabled); the explicit F.broadcast hints in
+    # _shrink_ea are unaffected
+    from contextlib import nullcontext
+
+    bj_ctx = broadcast_joins_disabled(spark) if loop_w <= 8 else nullcontext()
     with fixpoint_shuffle_partitions(
         spark, max(graph.num_nodes, graph.num_edges), per_partition=250_000
-    ):
+    ), bj_ctx:
         for _round in range(1, max_rounds + 1):
             if n_alive == 0:
                 break

@@ -62,18 +62,34 @@ def sssp(
     ew = edges_w.select(
         "src", "dst", F.col("w").cast("double").alias("w")
     ).where(F.col("src") != F.col("dst"))
-    neg = ew.where(F.col("w") < 0).limit(1).count()
-    if neg:
+    # one scan answers both the negativity probe and the size estimate
+    probe = ew.agg(
+        F.count("*").alias("m"),
+        F.sum((F.col("w") < 0).cast("long")).alias("neg"),
+    ).collect()[0]
+    if int(probe["neg"] or 0):
         raise ValueError("sssp requires non-negative edge weights")
-    ew = ew.persist()
-    n_edges = ew.count()
+    n_edges = int(probe["m"])
+    # hash-partition the edge table on src at the LOOP width once: the
+    # per-superstep frontier ⋈ ew join then co-partitions and the edge table
+    # never re-exchanges inside the loop (guide §2.4)
+    from ..streaming.superstep import fixpoint_width
+
+    loop_w = fixpoint_width(spark, max(n_edges, 1), per_partition=250_000)
+    ew = ew.repartition(loop_w, "src").persist()
+    ew.count()
 
     dist = sources.select(
         F.col("v"), F.lit(0.0).alias("dist")
     ).distinct().localCheckpoint(eager=True)
     frontier = dist  # vertices improved last superstep
     it = 0
-    with fixpoint_shuffle_partitions(spark, max(n_edges, 1), per_partition=250_000):
+    from contextlib import nullcontext
+
+    from ..streaming.superstep import broadcast_joins_disabled
+
+    bj_ctx = broadcast_joins_disabled(spark) if loop_w <= 8 else nullcontext()
+    with fixpoint_shuffle_partitions(spark, max(n_edges, 1), per_partition=250_000), bj_ctx:
         with aqe_disabled(spark):
             while True:
                 it += 1

@@ -168,6 +168,52 @@ def _weighted_pick(nbrs, wts, u):
     return F.element_at(nbrs, (idx + 1).cast("int"))
 
 
+def _merge_pick(nbrs, common, prev, u, w_return: int, w_common: int, w_out: int):
+    """O(deg) inverse-CDF draw for the node2vec step weights.
+
+    ``common`` = ``array_intersect(nbrs, pnbrs)`` — in nbrs order, because
+    array_intersect preserves its first argument's order over sorted-distinct
+    inputs. The fold walks ``nbrs`` ONCE with a pointer into ``common`` (a
+    sorted-merge): each candidate's weight is w_return (== prev), w_common
+    (next unmatched common element), else w_out — O(1) per candidate instead
+    of the O(deg(prev)) per-candidate ``array_contains`` probe, so a hub step
+    costs O(deg) not O(deg²). ``prev`` can never collide with the common
+    pointer (no self-loops ⇒ prev ∉ pnbrs ⇒ prev ∉ common). Integer
+    arithmetic end to end; the pick is bit-identical to the quadratic
+    formulation (pinned by tests and the SQL oracle).
+    """
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).alias("idx"),
+        F.lit(0).alias("pos"),
+        F.lit(0).alias("ptr"),
+    )
+
+    def merge(acc, c):
+        is_common = F.coalesce(
+            F.try_element_at(common, (acc["ptr"] + 1).cast("int")) == c, F.lit(False)
+        )
+        wt = (
+            F.when(c == prev, F.lit(w_return))
+            .when(is_common, F.lit(w_common))
+            .otherwise(F.lit(w_out))
+            .cast("long")
+        )
+        cum2 = acc["cum"] + wt
+        return F.struct(
+            cum2.alias("cum"),
+            F.when(acc["idx"] >= 0, acc["idx"])
+            .when(cum2 > u, acc["pos"])
+            .otherwise(F.lit(-1))
+            .alias("idx"),
+            (acc["pos"] + 1).alias("pos"),
+            (acc["ptr"] + is_common.cast("int")).alias("ptr"),
+        )
+
+    idx = F.aggregate(nbrs, init, merge, lambda acc: acc["idx"])
+    return F.element_at(nbrs, (idx + 1).cast("int"))
+
+
 def node2vec_walks(
     edges: DataFrame,
     walk_length: int,
@@ -246,28 +292,34 @@ def node2vec_walks(
                 F.concat(F.col("path"), F.array(nxt)).alias("path"),
             )
         else:
-            # Materialize weights, then the draw, then the pick as NAMED
-            # COLUMNS across separate projections: a higher-order function
-            # nested inside another's lambda mis-binds the inner lambda
-            # variables at analysis (and the re-inlined expression tree
-            # grows ~3x per step) — with plain column references each
-            # projection carries exactly one lambda level.
-            wts = F.transform(
-                F.col("nbrs"),
-                lambda c: F.when(c == F.col("prev"), F.lit(w_return))
-                .when(F.array_contains(F.col("pnbrs"), c), F.lit(w_common))
-                .otherwise(F.lit(w_out))
-                .cast("long"),
-            )
+            # Materialize the common-neighbor intersection, then the draw,
+            # then the pick as NAMED COLUMNS across separate projections: a
+            # higher-order function nested inside another's lambda mis-binds
+            # the inner lambda variables at analysis (and the re-inlined
+            # expression tree grows ~3x per step) — with plain column
+            # references each projection carries exactly one lambda level.
+            # The O(deg²) transform(array_contains) weight table is GONE:
+            # array_intersect is one hash-set pass, the total is closed-form
+            # arithmetic over (deg, |common|, prev∈nbrs), and the pick is the
+            # O(deg) sorted-merge fold (_merge_pick) — a hub step now costs
+            # O(deg), not O(deg²), with bit-identical picks.
             s1 = j.select(
-                "walk_id", "start", "cur", "path", "nbrs",
-                wts.alias("_wts"), h.alias("_h"),
+                "walk_id", "start", "cur", "path", "nbrs", "deg",
+                F.array_intersect(F.col("nbrs"), F.col("pnbrs")).alias("_common"),
+                F.col("prev").alias("_prev"),
+                h.alias("_h"),
             )
-            total = F.aggregate(
-                F.col("_wts"), F.lit(0).cast("long"), lambda acc, x: acc + x
+            total = (
+                F.lit(w_out) * F.col("deg")
+                + F.lit(w_common - w_out) * F.size("_common").cast("long")
+                + F.lit(w_return - w_out)
+                * F.array_contains(F.col("nbrs"), F.col("_prev")).cast("long")
             )
             s2 = s1.withColumn("_u", F.pmod(F.col("_h"), total))
-            nxt = _weighted_pick(F.col("nbrs"), F.col("_wts"), F.col("_u"))
+            nxt = _merge_pick(
+                F.col("nbrs"), F.col("_common"), F.col("_prev"), F.col("_u"),
+                w_return, w_common, w_out,
+            )
             w = s2.select(
                 "walk_id",
                 "start",

@@ -194,18 +194,24 @@ class GraphFrame:
         :meth:`dense_ids`); the mapping is kept as ``nodes(id, orig)`` — the
         analog of the reference's ``*.nodes`` side files.
         """
-        verts = edges.select(F.col("src").cast("string").alias("orig")).union(
-            edges.select(F.col("dst").cast("string").alias("orig"))
+        # materialize the (possibly expensive) edge derivation ONCE: the
+        # string-keyed projection is consumed three times below (both vertex
+        # scans + the id-mapping join) and without the checkpoint each
+        # consumer re-runs the full upstream plan (e.g. the transcript
+        # sessionize → window → distinct chain behind the session graph)
+        se = edges.select(
+            F.col("src").cast("string").alias("s_orig"),
+            F.col("dst").cast("string").alias("d_orig"),
+        ).localCheckpoint(eager=False)
+        verts = se.select(F.col("s_orig").alias("orig")).union(
+            se.select(F.col("d_orig").alias("orig"))
         )
         nodes = GraphFrame.dense_ids(verts).persist(StorageLevel.MEMORY_AND_DISK)
         n = nodes.count()
         # plain equi-joins: Catalyst/AQE broadcasts when nodes is small and
         # falls back to shuffle joins at 10^9-vertex scale
         e = (
-            edges.select(
-                F.col("src").cast("string").alias("s_orig"),
-                F.col("dst").cast("string").alias("d_orig"),
-            )
+            se
             .join(nodes.withColumnRenamed("orig", "s_orig"), "s_orig")
             .withColumnRenamed("id", "src")
             .join(nodes.withColumnRenamed("orig", "d_orig"), "d_orig")

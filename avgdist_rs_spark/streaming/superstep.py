@@ -103,11 +103,21 @@ class Checkpointer:
         self._tmpdir: str | None = None
 
     def _hard_cut(self, df: DataFrame) -> DataFrame:
-        """Parquet-roundtrip lineage cut: resets the localCheckpoint chain."""
+        """Parquet-roundtrip lineage cut: resets the localCheckpoint chain.
+
+        The cut directory is removed at interpreter exit (round-5 advice:
+        long fixpoints otherwise accumulate Parquet copies of the loop state
+        for the life of the process). Eager per-cut deletion would be unsafe:
+        an accumulator folded through an EARLIER hard cut of the same
+        Checkpointer (e.g. msf's forest) may be read lazily after later cuts.
+        """
+        import atexit
+        import shutil
         import tempfile
 
         if self._tmpdir is None:
             self._tmpdir = tempfile.mkdtemp(prefix=f"ckpt_hard_{self.name}_")
+            atexit.register(shutil.rmtree, self._tmpdir, ignore_errors=True)
         path = os.path.join(self._tmpdir, f"cut={self._n_cuts}")
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
@@ -259,6 +269,32 @@ def _conf_scope(spark: SparkSession, key: str, value: str):
             spark.conf.set(key, prev)
 
 
+def broadcast_joins_disabled(spark: SparkSession):
+    """Scope ``spark.sql.autoBroadcastJoinThreshold`` to -1 (LIFO restore).
+
+    For NARROW fixpoint loops (scoped shuffle width ≤ 8) the per-superstep
+    join sides are small co-partitioned state tables: a broadcast hash join
+    re-ships the label table every superstep AND submits one extra Spark job
+    per superstep for the broadcast exchange (measured: cc 10k-chain drops
+    from 2 jobs/superstep to 1 with broadcasts off, equal-or-better wall),
+    while the sort-merge join over the already co-partitioned sides is
+    exchange-free. Explicit ``F.broadcast()`` hints are unaffected.
+    """
+    return _conf_scope(spark, "spark.sql.autoBroadcastJoinThreshold", "-1")
+
+
+def fixpoint_width(
+    spark: SparkSession, rows: int, per_partition: int = 64_000, floor: int = 4
+) -> int:
+    """The loop shuffle width :func:`fixpoint_shuffle_partitions` would scope
+    to — exposed so loops can hash-partition their loop-carried edge tables to
+    the SAME width up front (join sides then co-partition and the edge table
+    never re-exchanges per superstep, guide §2.4)."""
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    target = max(floor, -(-int(rows) // per_partition))
+    return min(cur, target)
+
+
 def fixpoint_shuffle_partitions(
     spark: SparkSession, rows: int, per_partition: int = 64_000, floor: int = 4
 ):
@@ -284,10 +320,10 @@ def fixpoint_shuffle_partitions(
     ceil(1.05M/64k)=17 — where the previous 250k sizing under-widthed the
     10× case by ~20%.
     """
-    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    target = max(floor, -(-int(rows) // per_partition))
     return _conf_scope(
-        spark, "spark.sql.shuffle.partitions", str(min(cur, target))
+        spark,
+        "spark.sql.shuffle.partitions",
+        str(fixpoint_width(spark, rows, per_partition, floor)),
     )
 
 

@@ -87,7 +87,8 @@ def main() -> None:
                 # mirror the driver's weaker rows-only check for documented
                 # non-SQL-expressible queries (tests/test_entry.py ROWS_ONLY)
                 results[name] = {
-                    "rows_only": True, "spark_rows": int(len(got)), "err": None,
+                    "rows_only": True, "spark_rows": int(len(got)),
+                    "sec": round(time.monotonic() - t0, 2), "err": None,
                 }
                 print(f"ROWSONLY {name:30s} rows={len(got)} "
                       f"{time.monotonic() - t0:9.2f}s", flush=True)
