@@ -284,19 +284,27 @@ def broadcast_joins_disabled(spark: SparkSession):
 
 
 def fixpoint_width(
-    spark: SparkSession, rows: int, per_partition: int = 64_000, floor: int = 4
+    spark: SparkSession, rows: int, per_partition: int = 64_000, floor: int = 2
 ) -> int:
     """The loop shuffle width :func:`fixpoint_shuffle_partitions` would scope
     to — exposed so loops can hash-partition their loop-carried edge tables to
     the SAME width up front (join sides then co-partition and the edge table
-    never re-exchanges per superstep, guide §2.4)."""
+    never re-exchanges per superstep, guide §2.4).
+
+    ``floor=2`` (was 4): for 10k-row showcase states the narrower exchanges
+    measurably win (10k-cycle SCC 32.3 s → 24.2 s at floor 2, 21.8 at 1;
+    10k-chain CC 5.9 → 5.1) while the sf0.1 graph kernels are flat within
+    noise across floors 1/2/4 (cc 5.3–5.5, pagerank 5.8–6.3 warm) — the
+    floor only binds when ceil(rows/per_partition) is tiny, i.e. when the
+    state genuinely fits a couple of partitions; real widths still derive
+    from the data volume, so cluster-scale runs are untouched."""
     cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     target = max(floor, -(-int(rows) // per_partition))
     return min(cur, target)
 
 
 def fixpoint_shuffle_partitions(
-    spark: SparkSession, rows: int, per_partition: int = 64_000, floor: int = 4
+    spark: SparkSession, rows: int, per_partition: int = 64_000, floor: int = 2
 ):
     """Scope ``spark.sql.shuffle.partitions`` to the fixpoint's per-superstep
     exchange volume (``rows`` ≈ max(|V|, |E|) of the loop's state and
@@ -316,7 +324,7 @@ def fixpoint_shuffle_partitions(
     sf0.1 eg graph ≈ 105k edges and a 10×-replicated copy ≈ 1.05 M edges):
     1× optimum is width 4–8 (6.2–7.7 s vs 14–15.4 s at the session's 32),
     10× optimum is width 16 (≈10.1 s vs ≈12.1 s at width 5 and ≈16.5 s at
-    32). 64k rows/partition lands on both optima — ceil(105k/64k)→floor 4,
+    32). 64k rows/partition lands on both optima — ceil(105k/64k)→2,
     ceil(1.05M/64k)=17 — where the previous 250k sizing under-widthed the
     10× case by ~20%.
     """
@@ -329,7 +337,7 @@ def fixpoint_shuffle_partitions(
 
 @contextmanager
 def adaptive_shuffle_width(
-    spark: SparkSession, per_partition: int = 64_000, floor: int = 4
+    spark: SparkSession, per_partition: int = 64_000, floor: int = 2
 ):
     """Frontier-driven variant of :func:`fixpoint_shuffle_partitions` for
     loops whose exchange volume VARIES superstep to superstep (BFS frontiers,
