@@ -52,7 +52,10 @@ def label_propagation(
     from contextlib import nullcontext
 
     loop_w = fixpoint_width(spark, max(graph.num_nodes, 2 * graph.num_edges))
-    bj_ctx = broadcast_joins_disabled(spark) if loop_w <= 8 else nullcontext()
+    # rows gate rationale: components.py — only genuinely small states trade
+    # the broadcast join for the co-partitioned SMJ
+    small = max(graph.num_nodes, 2 * graph.num_edges) <= 32_000
+    bj_ctx = broadcast_joins_disabled(spark) if loop_w <= 8 and small else nullcontext()
     with fixpoint_shuffle_partitions(
         spark, max(graph.num_nodes, 2 * graph.num_edges)
     ), aqe_disabled(spark), bj_ctx:

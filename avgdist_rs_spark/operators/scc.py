@@ -267,12 +267,14 @@ def strongly_connected_components(
     # per_partition 250k as in components.py: the coloring/membership
     # fixpoints pointer-jump through self-joins (multiple stages per
     # superstep), the regime where fewer, larger partitions measured faster
-    # narrow loops also run without auto-broadcast (1 job/superstep instead
-    # of 2 — see broadcast_joins_disabled); the explicit F.broadcast hints in
-    # _shrink_ea are unaffected
+    # SMALL-state loops also run without auto-broadcast (1 job/superstep
+    # instead of 2 — see broadcast_joins_disabled and the rows gate rationale
+    # in components.py); the explicit F.broadcast hints in _shrink_ea are
+    # unaffected
     from contextlib import nullcontext
 
-    bj_ctx = broadcast_joins_disabled(spark) if loop_w <= 8 else nullcontext()
+    small = max(graph.num_nodes, graph.num_edges) <= 32_000
+    bj_ctx = broadcast_joins_disabled(spark) if loop_w <= 8 and small else nullcontext()
     with fixpoint_shuffle_partitions(
         spark, max(graph.num_nodes, graph.num_edges), per_partition=250_000
     ), bj_ctx:

@@ -88,7 +88,12 @@ def sssp(
 
     from ..streaming.superstep import broadcast_joins_disabled
 
-    bj_ctx = broadcast_joins_disabled(spark) if loop_w <= 8 else nullcontext()
+    # rows gate rationale: components.py — small-state loops only
+    bj_ctx = (
+        broadcast_joins_disabled(spark)
+        if loop_w <= 8 and n_edges <= 32_000
+        else nullcontext()
+    )
     with fixpoint_shuffle_partitions(spark, max(n_edges, 1), per_partition=250_000), bj_ctx:
         with aqe_disabled(spark):
             while True:
