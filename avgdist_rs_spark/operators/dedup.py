@@ -261,6 +261,12 @@ def minhash_lsh_pairs(
     # duplicate-insensitive — keeps the hash CPU map-side at scan
     # parallelism); the exact verify below needs the distinct set. Two cheap
     # explodes beat funneling the hash work through the dedup exchange.
+    # (Round-6 measured negative, kept for the record: pruning the verify
+    # shingles to candidate docs with a semi-join BEFORE the distinct — the
+    # "remove the full-corpus dedup exchange" refactor — is 3–4 s SLOWER at
+    # the 10× bench scale because the verify subtree then SERIALIZES behind
+    # candidate generation instead of pipelining beside it, and adds 4 jobs;
+    # revisit only with a measured full-corpus-distinct bottleneck.)
     sh = word_shingles(docs, k, id_col, text_col)
     sig = minhash_signatures(docs, num_hashes, k, id_col, text_col)
     band_cols = []
