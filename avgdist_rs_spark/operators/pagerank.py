@@ -93,12 +93,6 @@ def pagerank(
             graph.edges.select(F.countDistinct("src").alias("d")).collect()[0]["d"] < n
         )
 
-        start_iter = 0
-        ranks: DataFrame | None = None
-        if resume:
-            latest = ckpt.latest()
-            if latest is not None:
-                ranks, start_iter = latest
         if seeds is None:
             tele = F.lit(1.0) / F.lit(float(n))
         else:
@@ -108,53 +102,20 @@ def pagerank(
             tele = F.when(
                 F.col("v").isin(sset), F.lit(1.0) / F.lit(float(len(sset)))
             ).otherwise(F.lit(0.0))
-        if ranks is None:
-            ranks = (
-                graph.vertices()
-                .select("v", tele.alias("rank"))
-                .localCheckpoint(eager=True)
-            )
 
-        base_rows = (
-            graph.vertices()
-            .select("v", F.lit(0.0).alias("c"), tele.alias("_tele"))
-            .persist()
-        )
-        for it in range(start_iter + 1, iterations + 1):
-            t0 = time.monotonic()
-            # every-vertex presence WITHOUT a second join: zero-contribution base
-            # rows ride the SAME union into the single groupBy exchange, so each
-            # superstep is exactly one shuffle of the n-row rank vector (by src)
-            # plus one aggregation shuffle (by dst) — no vertices ⋈ contrib stage
-            contrib = (
-                ranks.join(norm_edges.hint("merge"), ranks.v == F.col("_esrc"))
-                .select(
-                    F.col("_edst").alias("v"),
-                    (F.col("rank") * F.col("_w")).alias("c"),
-                    F.lit(0.0).alias("_tele"),
-                )
-                .unionAll(base_rows)
-                .groupBy("v")
-                .agg(F.sum("c").alias("c"), F.max("_tele").alias("_t"))
-                .persist()
-            )
-            # dangling mass = 1 − Σ contrib: every non-dangling vertex distributes
-            # its rank fully (Σ_v contrib(v) = Σ_{u: outdeg>0} rank(u)) and Σ rank
-            # is 1 by construction (the base rows add exactly 0) — saves the
-            # anti-join + extra ranks scan per superstep; the SQL oracle mirrors
-            # this expression exactly. The scalar is COLLECTED (one job over the
-            # persisted contrib, which the checkpoint job then reads from cache)
-            # and injected as a LITERAL: the former broadcast-subquery device
-            # (crossJoin(broadcast(agg))) cost two extra Spark jobs per
-            # iteration for the nested broadcast exchanges — measured 4 jobs/
-            # iteration → 2 (same aggregate, same IEEE value, bit-identical
-            # ranks; driver-sim re-verified)
+        # --- state = the CONTRIBUTION vector (v, c, _t), not the rank vector.
+        # rank_k is recomputed inline wherever needed as base_k + d·c_k — the
+        # IDENTICAL float expression tree that previously produced the stored
+        # rank column, so every downstream product/sum is bit-equal (the SQL
+        # oracle mirrors the same formula). The payoff: the dangling-mass
+        # scalar for iteration k+1 is an aggregate over state_k, so it rides
+        # the SAME Spark job that materializes the (lazy) checkpoint — ONE
+        # job per iteration (was 2 with the stored-rank formulation, 4 with
+        # the original broadcast-subquery device).
+        def rank_expr(dm: float | None, first: bool) -> F.Column:
+            if first:  # rank_0 = the teleport vector itself (c_0 = 0)
+                return F.col("_t")
             if has_dangling:
-                dm = float(
-                    contrib.agg(
-                        (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("_dm")
-                    ).collect()[0]["_dm"]
-                )
                 if seeds is None:
                     base = (
                         F.lit((1.0 - damping) / n)
@@ -165,32 +126,91 @@ def pagerank(
                         F.lit(1.0 - damping) * F.col("_t")
                         + F.lit(damping) * F.lit(dm) * F.col("_t")
                     )
-                new_ranks = contrib.select(
-                    "v", (base + F.lit(damping) * F.col("c")).alias("rank")
-                )
             else:
                 if seeds is None:
                     base = F.lit((1.0 - damping) / n)
                 else:
                     base = F.lit(1.0 - damping) * F.col("_t")
-                new_ranks = contrib.select(
-                    "v", (base + F.lit(damping) * F.col("c")).alias("rank")
+            return base + F.lit(damping) * F.col("c")
+
+        def collect_dm(state: DataFrame) -> float:
+            # dangling mass = 1 − Σ contrib: every non-dangling vertex
+            # distributes its rank fully and Σ rank is 1 by construction
+            # (the base rows add exactly 0) — the oracle mirrors this
+            # expression exactly
+            return float(
+                state.agg(
+                    (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("_dm")
+                ).collect()[0]["_dm"]
+            )
+
+        start_iter = 0
+        state: DataFrame | None = None
+        dm: float | None = None
+        first = True
+        if resume:
+            latest = ckpt.latest()
+            if latest is not None:
+                state, start_iter = latest
+                first = start_iter == 0
+                if has_dangling and not first:
+                    dm = collect_dm(state)  # same aggregate ⇒ same scalar bits
+        if state is None:
+            state = (
+                graph.vertices()
+                .select("v", F.lit(0.0).alias("c"), tele.alias("_t"))
+                .localCheckpoint(eager=True)
+            )
+
+        base_rows = (
+            graph.vertices()
+            .select("v", F.lit(0.0).alias("c"), tele.alias("_tele"))
+            .persist()
+        )
+        for it in range(start_iter + 1, iterations + 1):
+            t0 = time.monotonic()
+            prev_state, prev_dm, prev_first = state, dm, first
+            # every-vertex presence WITHOUT a second join: zero-contribution base
+            # rows ride the SAME union into the single groupBy exchange, so each
+            # superstep is exactly one shuffle of the n-row rank vector (by src)
+            # plus one aggregation shuffle (by dst) — no vertices ⋈ contrib stage
+            new_state = (
+                state.join(norm_edges.hint("merge"), state.v == F.col("_esrc"))
+                .select(
+                    F.col("_edst").alias("v"),
+                    (rank_expr(dm, first) * F.col("_w")).alias("c"),
+                    F.lit(0.0).alias("_tele"),
                 )
+                .unionAll(base_rows)
+                .groupBy("v")
+                .agg(F.sum("c").alias("c"), F.max("_tele").alias("_t"))
+            )
+            new_state = ckpt.step(
+                new_state, it, rows=n, wall_s=time.monotonic() - t0, lazy=True
+            )
+            if has_dangling:
+                dm = collect_dm(new_state)  # materializes the lazy checkpoint
+            else:
+                new_state.count()  # the materializing action
+            state, first = new_state, False
             if tol is not None:
                 delta = (
-                    new_ranks.alias("a")
-                    .join(ranks.alias("b"), "v")
+                    state.select("v", rank_expr(dm, False).alias("rank")).alias("a")
+                    .join(
+                        prev_state.select(
+                            "v", rank_expr(prev_dm, prev_first).alias("rank")
+                        ).alias("b"),
+                        "v",
+                    )
                     .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
                     .collect()[0][0]
                 )
             else:
                 delta = None
-            new_ranks = ckpt.step(new_ranks, it, rows=n, wall_s=time.monotonic() - t0)
-            contrib.unpersist()
-            ranks = new_ranks
             met.record(it, n, time.monotonic() - t0, l1_delta=delta)
             if tol is not None and delta is not None and delta < tol:
                 break
+        ranks = state.select("v", rank_expr(dm, first).alias("rank"))
     norm_edges.unpersist()
     base_rows.unpersist()
     return ranks
