@@ -142,32 +142,6 @@ def random_walks(
     )
 
 
-def _weighted_pick(nbrs, wts, u):
-    """First neighbor whose integer-weight prefix sum exceeds ``u`` — the
-    deterministic inverse-CDF draw, evaluated as one left fold over the
-    (sorted) neighbor array. Integer arithmetic end to end: both engines
-    compute the identical pick with zero float hazards."""
-    init = F.struct(
-        F.lit(0).cast("long").alias("cum"),
-        F.lit(-1).alias("idx"),
-        F.lit(0).alias("pos"),
-    )
-
-    def merge(acc, x):
-        cum2 = acc["cum"] + x
-        return F.struct(
-            cum2.alias("cum"),
-            F.when(acc["idx"] >= 0, acc["idx"])
-            .when(cum2 > u, acc["pos"])
-            .otherwise(F.lit(-1))
-            .alias("idx"),
-            (acc["pos"] + 1).alias("pos"),
-        )
-
-    idx = F.aggregate(wts, init, merge, lambda acc: acc["idx"])
-    return F.element_at(nbrs, (idx + 1).cast("int"))
-
-
 def _merge_pick(nbrs, common, prev, u, w_return: int, w_common: int, w_out: int):
     """O(deg) inverse-CDF draw for the node2vec step weights.
 
