@@ -61,8 +61,8 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """
     if k < 2:
         raise ValueError("k must be >= 2")
-    cur = canonical_edges(edges).localCheckpoint(eager=True)
-    n = cur.count()
+    cur = canonical_edges(edges).localCheckpoint(eager=False)
+    n = cur.count()  # materializes the checkpoint
     for _ in range(max_rounds):
         if n == 0:
             return cur.select("a", "b", F.lit(0).cast("long").alias("support"))
@@ -73,7 +73,9 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
                 "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
             )
             .where(F.col("support") >= k - 2)
-            .localCheckpoint(eager=True)
+            # non-eager: the count() below materializes — one job per peel
+            # round instead of two (the superstep-fusion discipline)
+            .localCheckpoint(eager=False)
         )
         m = nxt.count()
         if m == n:

@@ -393,7 +393,8 @@ def strongly_connected_components(
             )
             _accumulate(found)
             prev_alive = n_alive
-            alive = alive.join(mem.select("v"), "v", "anti").localCheckpoint(eager=True)
+            # non-eager: the count() materializes — one job per round-end
+            alive = alive.join(mem.select("v"), "v", "anti").localCheckpoint(eager=False)
             n_alive = alive.count()
             _shrink_ea(mem.select("v"), prev_alive - n_alive)
             color.unpersist()
